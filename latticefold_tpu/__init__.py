@@ -1,0 +1,3 @@
+"""latticefold_tpu: a TPU-native LatticeFold / LatticeFold+ framework (JAX/XLA/Pallas)."""
+
+__version__ = "0.1.0"

@@ -1,0 +1,194 @@
+"""Batched device (JAX) ring operations.
+
+Array convention: an array of N ring elements in NTT form is
+``[..., ncomp, e, nl]`` uint32 (Montgomery domain). Coefficient-form arrays
+are ``[..., d, nl]``. The flat K-coordinate order (component-major, then
+extension coordinate) matches ``Ring.flatten`` on the host side and the
+absorb order of the reference transcript
+(/root/reference/crates/latticefold/src/transcript/poseidon.rs:42-47).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from .construct import Ring
+
+
+# ---------------------------------------------------------------------------
+# generic mod-q matrix application (streamed; no [N, d, d] materialization)
+# ---------------------------------------------------------------------------
+
+
+def mat_apply(m: mo.Modulus, M, x):
+    """``M``: [din, dout, nl] (Montgomery), ``x``: [..., din, nl] -> [..., dout, nl].
+
+    Streamed as a lax.scan over the input dimension: no [N, din, dout]
+    materialization and a compile-time independent of d (VPU path; the
+    int8-limb MXU path in rings/mxu.py supersedes this for large batches).
+    """
+    din, dout = M.shape[0], M.shape[1]
+    acc0 = jnp.zeros(x.shape[:-2] + (dout, x.shape[-1]), dtype=x.dtype)
+
+    def step(acc, j):
+        xj = jax.lax.dynamic_index_in_dim(x, j, axis=x.ndim - 2, keepdims=True)
+        Mj = jax.lax.dynamic_index_in_dim(M, j, axis=0, keepdims=False)
+        return mo.add(m, acc, mo.mont_mul(m, xj, Mj)), None
+
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(din))
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _device_mat(ring: Ring, which: str):
+    # [d, d, nl]: rows indexed by input coefficient, columns by output coord.
+    mat = ring.np_matrix(which, mont=True)  # [dout, din, nl] (row=output)
+    return jnp.asarray(np.transpose(mat, (1, 0, 2)))  # -> [din, dout, nl]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def crt(ring: Ring, coeffs):
+    """[..., d, nl] coefficient form -> [..., ncomp, e, nl] NTT form."""
+    flat = mat_apply(ring.fq, _device_mat(ring, "crt"), coeffs)
+    return flat.reshape(flat.shape[:-2] + (ring.ncomp, ring.e, ring.nl))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def icrt(ring: Ring, x):
+    """[..., ncomp, e, nl] NTT form -> [..., d, nl] coefficient form."""
+    flat = x.reshape(x.shape[:-3] + (ring.d, ring.nl))
+    return mat_apply(ring.fq, _device_mat(ring, "icrt"), flat)
+
+
+# ---------------------------------------------------------------------------
+# K (extension field) and ring multiplication
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _red_rows(ring: Ring):
+    """[e-1, e, nl] Montgomery coords of y^(e+k) mod m(y)."""
+    if ring.e == 1:
+        return None
+    R = 1 << (32 * ring.nl)
+    rows = [[v * R % ring.q for v in row] for row in ring.K.red_rows]
+    return jnp.asarray(ring.fq.encode(np.array(rows, dtype=object)))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ext_mul(ring: Ring, a, b):
+    """Pairwise K multiplication; a, b: [..., e, nl] (broadcastable)."""
+    m, e = ring.fq, ring.e
+    if e == 1:
+        return mo.mont_mul(m, a, b)
+    conv = [None] * (2 * e - 1)
+    for i in range(e):
+        p = mo.mont_mul(m, a[..., i : i + 1, :], b)  # [..., e, nl]
+        for j in range(e):
+            t = p[..., j, :]
+            conv[i + j] = t if conv[i + j] is None else mo.add(m, conv[i + j], t)
+    out = conv[:e]
+    red = _red_rows(ring)
+    for k in range(e - 1):
+        hi = conv[e + k]  # [..., nl]
+        row = red[k]  # [e, nl]
+        term = mo.mont_mul(m, hi[..., None, :], row)  # [..., e, nl]
+        for t in range(e):
+            out[t] = mo.add(m, out[t], term[..., t, :])
+    return jnp.stack(out, axis=-2)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ring_mul(ring: Ring, a, b):
+    """Componentwise ring product; a, b: [..., ncomp, e, nl]."""
+    return ext_mul(ring, a, b)  # ext_mul broadcasts over the ncomp axis
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def scalar_mul(ring: Ring, a, k):
+    """Multiply ring array ``a`` [..., ncomp, e, nl] by diagonal K element ``k`` [e, nl]."""
+    return ext_mul(ring, a, k)  # broadcast [e, nl] against [..., ncomp, e, nl]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def const_mul(ring: Ring, a, c):
+    """Multiply by an F_q constant ``c`` [nl] (diagonal, subfield)."""
+    return mo.mont_mul(ring.fq, a, c)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ring_add(ring: Ring, a, b):
+    return mo.add(ring.fq, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ring_sub(ring: Ring, a, b):
+    return mo.sub(ring.fq, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def ring_sum(ring: Ring, a, axis: int):
+    return mo.sum_mod(ring.fq, a, axis)
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion of ring element arrays
+# ---------------------------------------------------------------------------
+
+
+def to_device(ring: Ring, elts) -> jnp.ndarray:
+    """Host NTT-form element(s) -> [..., ncomp, e, nl] Montgomery limbs.
+
+    ``elts`` is a single ring element (tuple of ncomp K-tuples) or arbitrarily
+    nested *lists* of them.
+    """
+
+    def shape_of(x):
+        return () if isinstance(x, tuple) else (len(x),) + shape_of(x[0])
+
+    shp = shape_of(elts)
+    out = np.empty(shp + (ring.ncomp, ring.e), dtype=object)
+
+    def fill(idx, x):
+        if isinstance(x, tuple):
+            for c in range(ring.ncomp):
+                for t in range(ring.e):
+                    out[idx + (c, t)] = x[c][t]
+        else:
+            for i, xi in enumerate(x):
+                fill(idx + (i,), xi)
+
+    fill((), elts)
+    R = 1 << (32 * ring.nl)
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(out)
+    return jnp.asarray(ring.fq.encode(mont))
+
+
+def to_host(ring: Ring, arr) -> np.ndarray:
+    """[..., ncomp, e, nl] mont array -> object array of host ring elements."""
+    can = mo.from_mont(ring.fq, arr)
+    ints = ring.fq.decode(np.asarray(can))  # [..., ncomp, e] object ints
+    shape = ints.shape[:-2]
+    flat = ints.reshape((-1, ring.ncomp, ring.e))
+    out = np.empty(flat.shape[0], dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = tuple(tuple(int(flat[i, c, t]) for t in range(ring.e)) for c in range(ring.ncomp))
+    return out.reshape(shape) if shape else out[0]
+
+
+def k_to_device(ring: Ring, kelt) -> jnp.ndarray:
+    """Host K element (tuple of e ints) -> [e, nl] Montgomery limbs."""
+    R = 1 << (32 * ring.nl)
+    vals = np.array([v * R % ring.q for v in kelt], dtype=object)
+    return jnp.asarray(ring.fq.encode(vals))
+
+
+def diag_to_device(ring: Ring, kelt) -> jnp.ndarray:
+    """Host K element -> diagonal ring element [ncomp, e, nl]."""
+    k = k_to_device(ring, kelt)
+    return jnp.broadcast_to(k, (ring.ncomp,) + k.shape)

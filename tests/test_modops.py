@@ -1,0 +1,88 @@
+"""modops kernels vs Python-int oracle, for all four primes."""
+
+import numpy as np
+import pytest
+
+import latticefold_tpu.modops as mo
+from latticefold_tpu.rings.construct import BABYBEAR_Q, FROG_Q, GOLDILOCKS_Q, STARK_Q
+
+PRIMES = [
+    ("babybear", BABYBEAR_Q, 1),
+    ("goldilocks", GOLDILOCKS_Q, 2),
+    ("frog", FROG_Q, 2),
+    ("stark", STARK_Q, 8),
+]
+
+
+def rand_ints(rng, q, n):
+    return np.array([rng.randrange(q) for _ in range(n)], dtype=object)
+
+
+@pytest.mark.parametrize("name,q,nl", PRIMES)
+def test_add_sub_mul(name, q, nl):
+    import random
+
+    rng = random.Random(42)
+    m = mo.Modulus(q, nl)
+    n = 64
+    a_i, b_i = rand_ints(rng, q, n), rand_ints(rng, q, n)
+    a, b = m.encode(a_i), m.encode(b_i)
+
+    out = m.decode(np.asarray(mo.add(m, a, b)))
+    assert all(int(x) == (int(p) + int(r)) % q for x, p, r in zip(out, a_i, b_i))
+
+    out = m.decode(np.asarray(mo.sub(m, a, b)))
+    assert all(int(x) == (int(p) - int(r)) % q for x, p, r in zip(out, a_i, b_i))
+
+    # Montgomery round-trip and multiplication
+    am, bm = mo.to_mont(m, a), mo.to_mont(m, b)
+    back = m.decode(np.asarray(mo.from_mont(m, am)))
+    assert all(int(x) == int(p) for x, p in zip(back, a_i))
+
+    prod = mo.from_mont(m, mo.mont_mul(m, am, bm))
+    out = m.decode(np.asarray(prod))
+    assert all(int(x) == int(p) * int(r) % q for x, p, r in zip(out, a_i, b_i))
+
+
+@pytest.mark.parametrize("name,q,nl", PRIMES)
+def test_sum_mod(name, q, nl):
+    import random
+
+    rng = random.Random(7)
+    m = mo.Modulus(q, nl)
+    vals = rand_ints(rng, q, 37)
+    a = m.encode(vals)
+    s = m.decode(np.asarray(mo.sum_mod(m, a, axis=0))[None, :])[0]
+    assert int(s) == sum(int(v) for v in vals) % q
+
+
+@pytest.mark.parametrize("name,q,nl", PRIMES[:3])
+@pytest.mark.parametrize("b,nd", [(2, None), (4, None), (320, None), (1024, None)])
+def test_signed_digits_roundtrip(name, q, nl, b, nd):
+    import random
+
+    rng = random.Random(3)
+    m = mo.Modulus(q, nl)
+    # enough digits to cover q/2 with balanced digits
+    ndigits = 1
+    while b**ndigits < q:
+        ndigits += 1
+    ndigits += 1
+    vals = rand_ints(rng, q, 32)
+    vals = np.concatenate([vals, np.array([0, 1, q - 1, q // 2, q // 2 + 1], dtype=object)])
+    a = m.encode(vals)
+    digs = np.asarray(mo.signed_digits(m, a, b, ndigits)).astype(np.int64)
+    assert np.abs(digs).max() <= b // 2
+    for i, v in enumerate(vals):
+        signed = int(v) if int(v) <= q // 2 else int(v) - q
+        rec = sum(int(digs[i, j]) * b**j for j in range(ndigits))
+        assert rec == signed, (v, digs[i])
+
+    # digits_to_field inverts signs correctly
+    f = m.decode(np.asarray(mo.digits_to_field(m, mo.signed_digits(m, a, b, ndigits)[..., 0])))
+    for x, v in zip(f, vals):
+        signed = int(v) if int(v) <= q // 2 else int(v) - q
+        d0 = int(digs[list(vals).index(v) if False else 0, 0])  # placeholder, not used
+    # direct check: field value equals digit mod q
+    d0s = digs[:, 0]
+    assert all(int(x) == int(d) % q for x, d in zip(f, d0s))

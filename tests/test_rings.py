@@ -1,0 +1,89 @@
+"""Ring construction and CRT/ICRT correctness, host vs device."""
+
+import random
+
+import numpy as np
+import pytest
+
+import latticefold_tpu.rings.ops as rops
+from latticefold_tpu.rings.construct import get_ring
+
+RINGS = ["goldilocks", "frog", "stark", "babybear"]
+
+
+def poly_mulmod_naive(ring, a, b):
+    """Oracle: coefficient-space product mod Phi using Python ints."""
+    q, d = ring.q, ring.d
+    conv = [0] * (2 * d - 1)
+    for i in range(d):
+        for j in range(d):
+            conv[i + j] = (conv[i + j] + a[i] * b[j]) % q
+    # reduce: X^d = -(phi - X^d)
+    for k in range(2 * d - 2, d - 1, -1):
+        c = conv[k]
+        if c:
+            conv[k] = 0
+            for i in range(d):
+                conv[k - d + i] = (conv[k - d + i] - c * ring.phi[i]) % q
+    return [v % q for v in conv[:d]]
+
+
+@pytest.mark.parametrize("name", RINGS)
+def test_crt_is_ring_isomorphism_host(name):
+    ring = get_ring(name)
+    rng = random.Random(11)
+    a = [rng.randrange(ring.q) for _ in range(ring.d)]
+    b = [rng.randrange(ring.q) for _ in range(ring.d)]
+    prod = poly_mulmod_naive(ring, a, b)
+    lhs = ring.crt_host(prod)
+    rhs = ring.rmul(ring.crt_host(a), ring.crt_host(b))
+    assert lhs == rhs
+    # icrt inverts crt
+    assert ring.icrt_host(ring.crt_host(a)) == [x % ring.q for x in a]
+    # one/embed behave
+    one_c = [1] + [0] * (ring.d - 1)
+    assert ring.crt_host(one_c) == ring.one()
+
+
+@pytest.mark.parametrize("name", RINGS)
+def test_device_matches_host(name):
+    ring = get_ring(name)
+    rng = random.Random(5)
+    N = 9
+    coeffs = [[rng.randrange(ring.q) for _ in range(ring.d)] for _ in range(N)]
+    host_ntt = [ring.crt_host(c) for c in coeffs]
+
+    # device crt from coefficient arrays
+    enc = ring.fq.encode(np.array([[v * (1 << (32 * ring.nl)) % ring.q for v in c] for c in coeffs], dtype=object))
+    import jax.numpy as jnp
+
+    dev = rops.crt(ring, jnp.asarray(enc))
+    back = rops.to_host(ring, dev)
+    assert list(back) == host_ntt
+
+    # device ring_mul matches host rmul
+    a_dev = rops.to_device(ring, host_ntt)
+    prod_dev = rops.ring_mul(ring, a_dev, a_dev)
+    prod_host = [ring.rmul(x, x) for x in host_ntt]
+    assert list(rops.to_host(ring, prod_dev)) == prod_host
+
+    # device icrt round-trip
+    rt = rops.to_host(ring, rops.crt(ring, rops.icrt(ring, a_dev)))
+    assert list(rt) == host_ntt
+
+    # scalar (diagonal K) multiplication
+    k = tuple(rng.randrange(ring.q) for _ in range(ring.e))
+    sc = rops.scalar_mul(ring, a_dev, rops.k_to_device(ring, k))
+    expected = [ring.rmul(x, ring.embed_k(k)) for x in host_ntt]
+    assert list(rops.to_host(ring, sc)) == expected
+
+
+@pytest.mark.parametrize("name", RINGS)
+def test_mul_by_x_matches(name):
+    ring = get_ring(name)
+    rng = random.Random(3)
+    a = [rng.randrange(ring.q) for _ in range(ring.d)]
+    shifted = ring.mul_by_x(a)
+    x_poly = [0, 1] + [0] * (ring.d - 2)
+    oracle = poly_mulmod_naive(ring, a, x_poly)
+    assert shifted == oracle

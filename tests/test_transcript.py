@@ -1,0 +1,66 @@
+"""Fiat-Shamir KATs lifted from the reference test suite.
+
+Expected values are the hard-coded test vectors from:
+- /root/reference/crates/latticefold/src/transcript/poseidon.rs:85-143
+- /root/reference/crates/cyclotomic-rings/src/rings/goldilocks.rs:77-116
+- /root/reference/crates/cyclotomic-rings/src/rings/stark.rs:60-91
+- /root/reference/crates/cyclotomic-rings/src/rings/frog.rs:66-96
+Hitting them proves the Grain parameters, sponge mechanics, byte squeezing and
+short-challenge decodes are bit-exact vs the Rust implementation.
+"""
+
+from latticefold_tpu.rings.construct import get_ring
+from latticefold_tpu.transcript import Transcript, short_challenge_coeffs
+
+GOLD = get_ring("goldilocks")
+Q = GOLD.q
+
+
+def test_get_big_challenge_kat():
+    # poseidon.rs:86-101
+    t = Transcript(GOLD)
+    t.sponge.absorb([0xFF])
+    c = t.get_challenge()
+    assert c == (
+        10462816198028961279,
+        17217694161994925895,
+        6163269596856181508,
+    )
+
+
+def test_get_small_challenge_kat():
+    # poseidon.rs:104-142
+    t = Transcript(GOLD)
+    t.sponge.absorb([0xFF])
+    coeffs = t.get_short_challenge()
+    expected = [
+        31, Q - 9, Q - 30, 14, Q - 15, Q - 9, 30, Q - 8, 19, Q - 4, 20, Q - 15,
+        Q - 26, 4, Q - 1, 7, Q - 23, Q - 26, Q - 17, Q - 31, 3, Q - 17, 25, Q - 17,
+    ]
+    assert coeffs == expected
+
+
+def test_goldilocks_challenge_decode_kat():
+    # goldilocks.rs:78-115
+    bs = bytes([0x7B, 0x4B, 0xE5, 0x8E, 0xE5, 0x11, 0xD2, 0xD0, 0x9C, 0x22,
+                0xBA, 0x2E, 0xEB, 0xA8, 0xBA, 0x35, 0xF2, 0x18])
+    coeffs = short_challenge_coeffs(GOLD, bs)
+    expected = [
+        27, 13, Q - 12, 25, Q - 18, Q - 10, Q - 2, Q - 28, Q - 14, Q - 29,
+        Q - 19, 7, 2, 8, 11, Q - 21, 11, 3, 10, 14, 21, Q - 24, Q - 17, Q - 26,
+    ]
+    assert coeffs == expected
+
+
+def test_stark_frog_challenge_decode_kat():
+    stark = get_ring("stark")
+    bs = bytes([0x7B, 0x4B, 0xE5, 0x8E, 0xE5, 0x11, 0xD2, 0xD0, 0x9C, 0x22,
+                0xBA, 0x2E, 0xEB, 0xA8, 0xBA, 0x35])
+    assert short_challenge_coeffs(stark, bs) == [
+        123, 75, 229, 142, 229, 17, 210, 208, 156, 34, 186, 46, 235, 168, 186, 53,
+    ]
+    frog = get_ring("frog")
+    fq = frog.q
+    expected = [x % fq for x in
+                [-5, -53, 101, 14, 101, -111, 82, 80, 28, -94, 58, -82, 107, 40, 58, -75]]
+    assert short_challenge_coeffs(frog, bs) == expected
