@@ -1,0 +1,77 @@
+"""Benchmark entry: prints ONE JSON line with the headline metric.
+
+Metric: Ajtai commitments per second over the Goldilocks ring at the
+BASELINE.json microbench shape (kappa=9, witness 2^15 NTT elements — the
+reference's commit_ntt test/bench shape, commitment_scheme.rs:141-159 and
+benches/ajtai.rs). The reference repo publishes no numbers (BASELINE.md), so
+vs_baseline is reported against a self-recorded prior run when available
+(bench_baseline.json), else null.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+
+    import latticefold_tpu.rings.ops as rops
+    from latticefold_tpu.commitment import AjtaiScheme, _commit
+    from latticefold_tpu.rings.construct import get_ring
+
+    ring = get_ring("goldilocks")
+    backend = jax.default_backend()
+    kappa = 9
+    n = 1 << 15 if backend != "cpu" else 1 << 11
+
+    scheme = AjtaiScheme(ring, kappa, n, seed=1)
+    rng = np.random.default_rng(0)
+    ints = rng.integers(0, 1 << 31, size=(n, ring.ncomp, ring.e), dtype=np.int64)
+    R = 1 << (32 * ring.nl)
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints.astype(object))
+    import jax.numpy as jnp
+
+    f = jnp.asarray(ring.fq.encode(mont))
+
+    # warmup/compile
+    cm = _commit(ring, scheme.matrix, f)
+    jax.block_until_ready(cm)
+
+    iters = 20 if backend != "cpu" else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cm = _commit(ring, scheme.matrix, f)
+    jax.block_until_ready(cm)
+    dt = time.perf_counter() - t0
+    commits_per_s = iters / dt
+
+    vs = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    if os.path.exists(base_path):
+        try:
+            base = json.load(open(base_path))
+            ref = base.get("commits_per_s")
+            if ref:
+                vs = commits_per_s / ref
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": f"ajtai_commits_per_s_goldilocks_k{kappa}_n{n}_{backend}",
+        "value": round(commits_per_s, 3),
+        "unit": "commits/s",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Sparse constraint matrices with batched device SpMV.
+
+Replaces the reference's row-list `SparseMatrix` + rayon `mat_vec_mul`
+(/root/reference/crates/latticefold/src/arith/utils.rs:52-65) with an
+ELL-style padded layout: gather witness rows, multiply, and fold the (small)
+per-row nonzero axis — all fully vectorized over the m constraint rows.
+Supports F_q-scalar coefficients (the common case: R1CS/CCS matrices are
+integer matrices, i.e. diagonal ring constants) and general ring-element
+coefficients (e.g. the squaring bench matrix, arith/r1cs.rs:204-223).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..rings import ops as rops
+from ..rings.construct import Ring
+
+
+class SparseMatrix:
+    """rows: per-row list of (coeff, col). coeff: int (F_q) or host ring elt."""
+
+    def __init__(self, ring: Ring, nrows: int, ncols: int, rows: List[List[Tuple]]):
+        assert len(rows) == nrows
+        self.ring = ring
+        self.nrows = nrows
+        self.ncols = ncols
+        self.rows = rows
+        self._dev = None
+
+    @classmethod
+    def from_dense(cls, ring: Ring, dense: Sequence[Sequence[int]]):
+        rows = [
+            [(int(v), j) for j, v in enumerate(r) if int(v) != 0] for r in dense
+        ]
+        return cls(ring, len(dense), len(dense[0]), rows)
+
+    def pad_rows(self, size: int):
+        if size > self.nrows:
+            self.rows = self.rows + [[] for _ in range(size - self.nrows)]
+            self.nrows = size
+            self._dev = None
+
+    @property
+    def scalar_coeffs(self) -> bool:
+        return all(isinstance(c, int) for row in self.rows for (c, _) in row)
+
+    # ------------------------------------------------------------------
+    def _device(self):
+        if self._dev is None:
+            ring = self.ring
+            nnz = max((len(r) for r in self.rows), default=0)
+            nnz = max(nnz, 1)
+            cols = np.zeros((self.nrows, nnz), dtype=np.int32)
+            if self.scalar_coeffs:
+                R = 1 << (32 * ring.nl)
+                vals = np.zeros((self.nrows, nnz), dtype=object)
+                for i, row in enumerate(self.rows):
+                    for k, (c, j) in enumerate(row):
+                        cols[i, k] = j
+                        vals[i, k] = c % ring.q * R % ring.q
+                coeffs = ring.fq.encode(vals)  # [m, nnz, nl]
+                self._dev = ("scalar", jnp.asarray(cols), jnp.asarray(coeffs))
+            else:
+                elts = []
+                for i, row in enumerate(self.rows):
+                    r = []
+                    for k in range(nnz):
+                        if k < len(row):
+                            c, j = row[k]
+                            cols[i, k] = j
+                            r.append(ring.embed_int(c) if isinstance(c, int) else c)
+                        else:
+                            r.append(ring.zero())
+                    elts.append(r)
+                coeffs = rops.to_device(ring, elts)  # [m, nnz, ncomp, e, nl]
+                self._dev = ("ring", jnp.asarray(cols), coeffs)
+        return self._dev
+
+    def mat_vec(self, z):
+        """z: [ncols, ncomp, e, nl] -> [nrows, ncomp, e, nl]."""
+        kind, cols, coeffs = self._device()
+        return _spmv(self.ring, kind, cols, coeffs, z)
+
+    # host reference path (for tiny verifier-side checks / tests)
+    def mat_vec_host(self, z: list):
+        ring = self.ring
+        out = []
+        for row in self.rows:
+            acc = ring.zero()
+            for c, j in row:
+                cc = ring.embed_int(c) if isinstance(c, int) else c
+                acc = ring.radd(acc, ring.rmul(cc, z[j]))
+            out.append(acc)
+        return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _spmv(ring: Ring, kind: str, cols, coeffs, z):
+    gathered = z[cols]  # [m, nnz, ncomp, e, nl]
+    if kind == "scalar":
+        prod = mo.mont_mul(ring.fq, gathered, coeffs[:, :, None, None, :])
+    else:
+        prod = rops.ring_mul(ring, gathered, coeffs)
+    # fold the small nnz axis sequentially (nnz is tiny)
+    acc = prod[:, 0]
+    for k in range(1, prod.shape[1]):
+        acc = rops.ring_add(ring, acc, prod[:, k])
+    return acc

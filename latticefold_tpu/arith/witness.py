@@ -1,0 +1,146 @@
+"""Witness pipeline: gadget decomposition, CRT, and the f-hat tables.
+
+Device port of /root/reference/crates/latticefold/src/arith.rs:214-387:
+
+  f_coeff = gadget_decompose_B,L(ICRT(w_ccs))     (balanced digits, |.| < B)
+  f       = CRT(f_coeff)
+  f_hat   = tau MLE tables packing the base-field coefficients of f_coeff
+            into NTT components as subfield constants (get_fhat, 273-297):
+            f_hat[j][i].component[c] = const-embed(f_coeff[i].coeff[j*ncomp+c])
+
+Digit layout: f_coeff[i*L + j] = j-th radix-B digit of w_ccs[i].
+For B >= 2^16 (Stark), B-digits are formed by recombining K balanced base-b
+digits (b = B_SMALL < 2^16), which keeps |digit| < B and recomposition exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..params import DecompositionParams
+from ..poly import mle as mlemod
+from ..rings import ops as rops
+from ..rings.construct import Ring
+
+_SMALL_BASE_LIMIT = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def gadget_decompose(ring: Ring, dp: DecompositionParams, coeff_canon):
+    """[N, d, nl] canonical coeffs -> [N*L, d, nl] canonical digit elements."""
+    m = ring.fq
+    N = coeff_canon.shape[0]
+    assert dp.B**dp.L > ring.q, (
+        f"gadget base B={dp.B} with L={dp.L} digits cannot cover q={ring.q}"
+    )
+    if dp.B < _SMALL_BASE_LIMIT:
+        digs = mo.signed_digits(m, coeff_canon, dp.B, dp.L)  # [N, d, L]
+        f = mo.digits_to_field(m, digs)  # [N, d, L, nl]
+    else:
+        assert dp.b**dp.K == dp.B, "composite gadget path needs b^K == B"
+        digs = mo.signed_digits(m, coeff_canon, dp.b, dp.L * dp.K)  # [N, d, L*K]
+        fb = mo.digits_to_field(m, digs)  # [N, d, L*K, nl]
+        fb = fb.reshape(N, ring.d, dp.L, dp.K, ring.nl)
+        # B-digit = sum_i b^i * b-digit_i  (field-space recombination)
+        acc = None
+        for i in range(dp.K):
+            p = _const_pow(ring, dp.b, i)
+            term = mo.mont_mul(m, mo.to_mont(m, fb[:, :, :, i, :]), p)
+            acc = term if acc is None else mo.add(m, acc, term)
+        f = mo.from_mont(m, acc)  # canonical [N, d, L, nl]
+    # layout: element i, digit j -> row i*L + j
+    f = jnp.moveaxis(f, 2, 1)  # [N, L, d, nl]
+    return f.reshape(N * dp.L, ring.d, ring.nl)
+
+
+def _const_pow(ring: Ring, b: int, i: int):
+    """b^i as a Montgomery F_q constant [nl] (numpy; embeds as literal)."""
+    R = 1 << (32 * ring.nl)
+    return ring.fq.encode(np.array(pow(b, i, ring.q) * R % ring.q, dtype=object))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def gadget_recompose(ring: Ring, dp: DecompositionParams, f_ntt):
+    """[N*L, ncomp, e, nl] NTT digits -> [N, ncomp, e, nl]: sum_j B^j f[i*L+j]."""
+    NL = f_ntt.shape[0]
+    N = NL // dp.L
+    fr = f_ntt.reshape(N, dp.L, ring.ncomp, ring.e, ring.nl)
+    acc = None
+    for j in range(dp.L):
+        p = _const_pow(ring, dp.B, j)
+        term = mo.mont_mul(ring.fq, fr[:, j], p)
+        acc = term if acc is None else mo.add(ring.fq, acc, term)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def make_fhat(ring: Ring, f_coeff_canon, n_pad: int):
+    """[N, d, nl] canonical digits -> f_hat [tau, n_pad, ncomp, e, nl] (mont)."""
+    N = f_coeff_canon.shape[0]
+    mont = mo.to_mont(ring.fq, f_coeff_canon)  # [N, d, nl]
+    # coeff index j*ncomp + c -> (chunk j, component c)
+    chunks = mont.reshape(N, ring.tau, ring.ncomp, ring.nl)
+    chunks = jnp.moveaxis(chunks, 1, 0)  # [tau, N, ncomp, nl]
+    out = jnp.zeros((ring.tau, N, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
+    out = out.at[..., 0, :].set(chunks)
+    if n_pad > N:
+        pad = jnp.zeros((ring.tau, n_pad - N, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
+        out = jnp.concatenate([out, pad], axis=1)
+    return out
+
+
+@dataclass
+class Witness:
+    """Device-resident CCS witness (arith.rs:214-223)."""
+
+    ring: Ring
+    dp: DecompositionParams
+    w_ccs: jnp.ndarray  # [n_w, ncomp, e, nl] NTT mont
+    f: jnp.ndarray  # [n_w*L, ncomp, e, nl] NTT mont
+    f_coeff: Optional[jnp.ndarray]  # [n_w*L, d, nl] canonical
+    f_hat: jnp.ndarray  # [tau, n_pad, ncomp, e, nl] NTT mont
+
+    @classmethod
+    def from_w_ccs(cls, ring: Ring, dp: DecompositionParams, w_ccs, n_pad: int):
+        """arith.rs:230-248."""
+        w_coeff = mo.from_mont(ring.fq, rops.icrt(ring, w_ccs))
+        f_coeff = gadget_decompose(ring, dp, w_coeff)
+        f = rops.crt(ring, mo.to_mont(ring.fq, f_coeff))
+        f_hat = make_fhat(ring, f_coeff, n_pad)
+        return cls(ring, dp, w_ccs, f, f_coeff, f_hat)
+
+    @classmethod
+    def from_f_coeff(cls, ring: Ring, dp: DecompositionParams, f_coeff, n_pad: int):
+        """arith.rs:324-338."""
+        f = rops.crt(ring, mo.to_mont(ring.fq, f_coeff))
+        f_hat = make_fhat(ring, f_coeff, n_pad)
+        w_ccs = gadget_recompose(ring, dp, f)
+        return cls(ring, dp, w_ccs, f, f_coeff, f_hat)
+
+    @classmethod
+    def from_f(cls, ring: Ring, dp: DecompositionParams, f, n_pad: int):
+        """arith.rs:299-313."""
+        f_coeff = mo.from_mont(ring.fq, rops.icrt(ring, f))
+        f_hat = make_fhat(ring, f_coeff, n_pad)
+        w_ccs = gadget_recompose(ring, dp, f)
+        return cls(ring, dp, w_ccs, f, f_coeff, f_hat)
+
+    def commit(self, scheme):
+        return scheme.commit(self.f)
+
+    def within_bound(self, bound: int) -> bool:
+        """max |signed coeff of f| < bound (testing; arith.rs:371-386)."""
+        ints = self.ring.fq.decode(np.asarray(self.f_coeff))
+        q = self.ring.q
+        mx = 0
+        for v in ints.reshape(-1):
+            s = int(v) if int(v) <= q // 2 else q - int(v)
+            mx = max(mx, s)
+        return mx < bound

@@ -1,0 +1,84 @@
+"""Ajtai (Module-SIS) commitments.
+
+Port of /root/reference/crates/latticefold/src/commitment/commitment_scheme.rs:
+the scheme is a public random kappa x n matrix over the NTT-form ring; a
+commitment is the ring matrix-vector product A f (rows 60-76). On TPU this is
+a batched componentwise-K contraction over the witness axis, jitted as one
+kernel (the throughput-defining op of the whole prover — SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import modops as mo
+from .arith.ccs import Commitment
+from .rings import ops as rops
+from .rings.construct import Ring
+
+
+def _sample_field(rng: np.random.Generator, q: int, nl: int, shape) -> np.ndarray:
+    """Uniform canonical-domain limbs via rejection sampling on q.bit_length() bits."""
+    total = int(np.prod(shape))
+    bits = q.bit_length()
+    out = np.empty(total, dtype=object)
+    filled = 0
+    while filled < total:
+        need = total - filled
+        raw = rng.integers(0, 1 << 32, size=(need + 7, (bits + 31) // 32), dtype=np.uint64)
+        vals = np.zeros(raw.shape[0], dtype=object)
+        for i in range(raw.shape[1]):
+            vals |= raw[:, i].astype(object) << (32 * i)
+        vals &= (1 << bits) - 1
+        ok = vals < q
+        acc = vals[ok][:need]
+        out[filled : filled + len(acc)] = acc
+        filled += len(acc)
+    return out.reshape(shape)
+
+
+class AjtaiScheme:
+    """kappa x n matrix of uniform NTT-form ring elements, seed-deterministic."""
+
+    def __init__(self, ring: Ring, kappa: int, n: int, seed: int = 0):
+        self.ring = ring
+        self.kappa = kappa
+        self.n = n
+        rng = np.random.default_rng(np.random.PCG64(seed))
+        R = 1 << (32 * ring.nl)
+        vals = _sample_field(rng, ring.q, ring.nl, (kappa, n, ring.ncomp, ring.e))
+        mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(vals)
+        self.matrix = jnp.asarray(ring.fq.encode(mont))  # [kappa, n, ncomp, e, nl]
+
+    @classmethod
+    def identity_like(cls, ring: Ring, kappa: int, n: int):
+        """Deterministic A[i][j] = diag(i*n + j), the reference's test generator
+        (commitment_scheme.rs:124-139)."""
+        self = cls.__new__(cls)
+        self.ring, self.kappa, self.n = ring, kappa, n
+        R = 1 << (32 * ring.nl)
+        vals = np.zeros((kappa, n, ring.ncomp, ring.e), dtype=object)
+        for i in range(kappa):
+            for j in range(n):
+                vals[i, j, :, 0] = (i * n + j) % ring.q * R % ring.q
+        self.matrix = jnp.asarray(ring.fq.encode(vals))
+        return self
+
+    def commit_device(self, f) -> jnp.ndarray:
+        """f: [n, ncomp, e, nl] -> [kappa, ncomp, e, nl]."""
+        if f.shape[0] != self.n:
+            raise ValueError(f"witness length {f.shape[0]} != scheme width {self.n}")
+        return _commit(self.ring, self.matrix, f)
+
+    def commit(self, f) -> Commitment:
+        return Commitment(self.ring, list(rops.to_host(self.ring, self.commit_device(f))))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _commit(ring: Ring, matrix, f):
+    prod = rops.ring_mul(ring, matrix, f[None])  # [kappa, n, ncomp, e, nl]
+    return rops.ring_sum(ring, prod, 1)

@@ -1,0 +1,20 @@
+"""Multi-chip execution: `shard_map` over a `jax.sharding.Mesh`.
+
+The reference has no distributed layer (rayon only — SURVEY.md §2.5); here
+scaling is first-class: the constraint dimension m (MLE tables, sumcheck
+rounds, SpMV rows) and the witness dimension n·L (Ajtai columns, CRT batches)
+are sharded across devices, with modular all-reduces for round messages and
+commitment partial sums.
+
+Modular reductions over the mesh use all_gather + tree sum_mod (an XLA psum
+would wrap uint32 lanes, breaking mod-q arithmetic); the gathered payloads are
+tiny (round messages: (degree+1)·d values; commitments: kappa·d).
+"""
+
+from .mesh import (  # noqa: F401
+    fold_step_core,
+    make_mesh,
+    sharded_commit,
+    sharded_crt,
+    sharded_sumcheck_round,
+)

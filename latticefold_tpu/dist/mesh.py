@@ -1,0 +1,152 @@
+"""Sharded device kernels.
+
+Sharding layout (ARCHITECTURE.md §4 + SURVEY.md §5.7-5.8 TPU translation):
+
+- MLE / hypercube axis (size m): sharded into contiguous blocks along mesh
+  axis ``x``. Low-bit (variable-0) folds are block-local; per-round messages
+  are modular-all-reduced.
+- Witness axis (size n·L): Ajtai matrix columns sharded along ``x``; each
+  device contracts its column slice, partial commitments are all-gathered and
+  tree-summed mod q.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import modops as mo
+from ..poly import mle as mlemod
+from ..rings import ops as rops
+from ..rings.construct import Ring
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _allreduce_mod(ring: Ring, x, axis_name: str):
+    """Modular all-reduce: all_gather then tree-sum mod q (psum would wrap)."""
+    gathered = jax.lax.all_gather(x, axis_name)  # [ndev, ...]
+    return mo.sum_mod(ring.fq, gathered, 0)
+
+
+def sharded_commit(ring: Ring, mesh: Mesh, matrix, f):
+    """Ajtai commit with witness columns sharded: matrix [kappa, n, ...] on
+    axis 1, f [n, ...] on axis 0; result replicated [kappa, ...]."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "x"), P("x")),
+        out_specs=P(),
+    )
+    def go(mat_blk, f_blk):
+        prod = rops.ring_mul(ring, mat_blk, f_blk[None])
+        partial = rops.ring_sum(ring, prod, 1)  # [kappa, ...]
+        return _allreduce_mod(ring, partial, "x")
+
+    return jax.jit(go)(matrix, f)
+
+
+def sharded_crt(ring: Ring, mesh: Mesh, coeffs):
+    """Elementwise CRT batched over a sharded witness axis (embarrassingly
+    parallel; no collectives)."""
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"))
+    def go(blk):
+        return rops.crt(ring, blk)
+
+    return jax.jit(go)(coeffs)
+
+
+def sharded_sumcheck_round(ring: Ring, mesh: Mesh, comb, degree: int, mles, consts):
+    """One sumcheck round over hypercube-sharded MLE tables.
+
+    mles: [nm, N, ncomp, e, nl] sharded on axis 1 (contiguous blocks, so the
+    even/odd variable-0 pairs are device-local). Returns the round message
+    [degree+1, ncomp, e, nl] (replicated) — the host absorbs it and squeezes
+    the next challenge.
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "x"), P()),
+        out_specs=P(),
+    )
+    def go(mles_blk, consts_):
+        a0 = mles_blk[:, 0::2]
+        a1 = mles_blk[:, 1::2]
+        evs = [
+            rops.ring_sum(ring, comb.fn(a0, consts_), 0),
+            rops.ring_sum(ring, comb.fn(a1, consts_), 0),
+        ]
+        if degree >= 2:
+            step = rops.ring_sub(ring, a1, a0)
+            cur = a1
+            for _ in range(2, degree + 1):
+                cur = rops.ring_add(ring, cur, step)
+                evs.append(rops.ring_sum(ring, comb.fn(cur, consts_), 0))
+        return _allreduce_mod(ring, jnp.stack(evs), "x")
+
+    return jax.jit(go)(mles, consts)
+
+
+def sharded_fold(ring: Ring, mesh: Mesh, mles, c):
+    """Fix variable 0 across sharded tables (block-local, no collectives)."""
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(None, "x"), P()), out_specs=P(None, "x"))
+    def go(mles_blk, c_):
+        return mlemod.fold(ring, mles_blk, c_)
+
+    return jax.jit(go)(mles, c)
+
+
+# ---------------------------------------------------------------------------
+# one fused "fold-step compute core" for multi-chip compile validation
+# ---------------------------------------------------------------------------
+
+
+def fold_step_core(ring: Ring, mesh: Mesh, matrix, f, mz_mles, eq, c):
+    """A single jitted program exercising the real sharded compute paths of a
+    fold step: Ajtai commit (witness-sharded contraction + modular
+    all-reduce), a degree-2 sumcheck round over hypercube-sharded MLEs, and
+    the challenge fold. Used by __graft_entry__.dryrun_multichip."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "x"), P("x"), P(None, "x"), P(None, "x"), P()),
+        out_specs=(P(), P(), P(None, "x")),
+    )
+    def go(mat_blk, f_blk, mz_blk, eq_blk, c_):
+        # Ajtai partial commit + modular all-reduce
+        prod = rops.ring_mul(ring, mat_blk, f_blk[None])
+        cm = _allreduce_mod(ring, rops.ring_sum(ring, prod, 1), "x")
+        # one sumcheck round message for g = eq * Mz_0 (degree 2)
+        stack = jnp.concatenate([mz_blk, eq_blk], axis=0)
+        a0, a1 = stack[:, 0::2], stack[:, 1::2]
+
+        def comb(v):
+            return rops.ring_mul(ring, v[0], v[-1])
+
+        evs = [rops.ring_sum(ring, comb(a0), 0), rops.ring_sum(ring, comb(a1), 0)]
+        step = rops.ring_sub(ring, a1, a0)
+        cur = a1
+        cur = rops.ring_add(ring, cur, step)
+        evs.append(rops.ring_sum(ring, comb(cur), 0))
+        msg = _allreduce_mod(ring, jnp.stack(evs), "x")
+        folded = mlemod.fold(ring, stack, c_)
+        return cm, msg, folded
+
+    return jax.jit(go)(matrix, f, mz_mles, eq, c)

@@ -1,0 +1,213 @@
+"""Decomposition subprotocol.
+
+Port of /root/reference/crates/latticefold/src/nifs/decomposition.rs and
+decomposition/utils.rs: split one LCCCS of norm bound B into K instances of
+bound b. The witness digits are extracted on device
+(decompose_B_vec_into_k_vec, utils.rs:45-49); the statement split
+(decompose_big_vec_into_k_vec_and_compose_back, utils.rs:12-42) is host-side
+(l+1 elements). The first commitment is derived homomorphically:
+y_0 = cm - b * sum_{i>=1} b^{i-1} y_i (decomposition.rs:178-201).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..arith.ccs import CCS, Commitment, LCCCS
+from ..arith.witness import Witness
+from ..commitment import AjtaiScheme
+from ..params import DecompositionParams
+from ..poly import mle as mlemod
+from ..rings import ops as rops
+from ..rings.construct import Ring
+from ..transcript import Transcript
+from .linearization import calculate_Mz_mles
+
+
+class DecompositionError(Exception):
+    pass
+
+
+@dataclass
+class DecompositionProof:
+    u_s: List[List[tuple]]
+    v_s: List[List[tuple]]
+    x_s: List[List[tuple]]
+    y_s: List[Commitment]
+
+
+# ---------------------------------------------------------------------------
+# host balanced digits (same half-toward-zero semantics as modops.signed_digits)
+# ---------------------------------------------------------------------------
+
+
+def host_balanced_digits(q: int, x: int, base: int, nd: int) -> List[int]:
+    s = x if x <= q // 2 else x - q
+    neg, mag = s < 0, abs(s)
+    digs = []
+    for _ in range(nd):
+        r = mag % base
+        quo = mag // base
+        if 2 * r > base:
+            r -= base
+            quo += 1
+        digs.append(-r if neg else r)
+        mag = quo
+    assert mag == 0, "not enough digits"
+    return digs
+
+
+def decompose_big_vec_into_k_vec_and_compose_back(
+    ring: Ring, dp: DecompositionParams, x: List[tuple]
+) -> List[List[tuple]]:
+    """utils.rs:12-42: ICRT -> radix-B (L digits) -> radix-b (K digits) ->
+    transpose -> recompose L-chunks with B -> CRT. Host-side (x is short)."""
+    q = ring.q
+    coeffs = [ring.icrt_host(e) for e in x]  # m_x lists of d ints
+    # gadget decompose: element i -> L digit elements (i*L + j)
+    decomposed_B: List[List[int]] = []
+    for c in coeffs:
+        digs_per_coeff = [host_balanced_digits(q, v, dp.B, dp.L) for v in c]
+        for j in range(dp.L):
+            decomposed_B.append([digs_per_coeff[t][j] % q for t in range(ring.d)])
+    # decompose each radix-B digit element into K radix-b digit elements
+    k_vecs: List[List[List[int]]] = [[] for _ in range(dp.K)]
+    for elem in decomposed_B:
+        digs_per_coeff = [host_balanced_digits(q, v, dp.b, dp.K) for v in elem]
+        for k in range(dp.K):
+            k_vecs[k].append([digs_per_coeff[t][k] % q for t in range(ring.d)])
+    # recompose chunks of L with powers of B, then CRT
+    out = []
+    for k in range(dp.K):
+        vec = []
+        rows = k_vecs[k]
+        for i in range(0, len(rows), dp.L):
+            acc = [0] * ring.d
+            for j in range(dp.L):
+                Bj = pow(dp.B, j, q)
+                acc = [(a + Bj * v) % q for a, v in zip(acc, rows[i + j])]
+            vec.append(ring.crt_host(acc))
+        out.append(vec)
+    return out
+
+
+def decompose_witness(ring: Ring, dp: DecompositionParams, wit: Witness, n_pad: int) -> List[Witness]:
+    """decompose_B_vec_into_k_vec + Witness::from_f_coeff per digit
+    (decomposition.rs:162-167)."""
+    digs = mo.signed_digits(ring.fq, wit.f_coeff, dp.b, dp.K)  # [NL, d, K]
+    out = []
+    for k in range(dp.K):
+        f_coeff_k = mo.digits_to_field(ring.fq, digs[..., k])
+        out.append(Witness.from_f_coeff(ring, dp, f_coeff_k, n_pad))
+    return out
+
+
+def prove(
+    cm_i: LCCCS,
+    wit: Witness,
+    transcript: Transcript,
+    ccs: CCS,
+    scheme: AjtaiScheme,
+    dp: DecompositionParams,
+):
+    """decomposition.rs:33-88. Returns (mz_mles, lcccs_s, wit_s, proof)."""
+    ring = ccs.ring
+    ccs.sanity_check(dp.L)
+
+    wit_s = decompose_witness(ring, dp, wit, ccs.m)
+    x_s = decompose_big_vec_into_k_vec_and_compose_back(
+        ring, dp, list(cm_i.x_w) + [cm_i.h]
+    )
+
+    # commitments: y_1..y_{K-1} on device; y_0 derived homomorphically
+    commitments_k1 = [w.commit(scheme) for w in wit_s[1:]]
+    b_elt = ring.embed_int(dp.b)
+    b_sum = Commitment.zeroed(ring, scheme.kappa)
+    for y_i in reversed(commitments_k1):
+        b_sum = (b_sum + y_i).mul_ring(b_elt)
+    y_s = [cm_i.cm - b_sum] + commitments_k1
+
+    rs = mlemod.point_to_device(ring, cm_i.r)
+    v_s = [list(rops.to_host(ring, mlemod.evaluate(ring, w.f_hat, rs))) for w in wit_s]
+
+    mz_mles = []
+    u_s = []
+    for k in range(dp.K):
+        z = jnp.concatenate([rops.to_device(ring, x_s[k]), wit_s[k].w_ccs], axis=0)
+        mz = calculate_Mz_mles(ring, ccs, z)
+        mz_mles.append(mz)
+        u_s.append(list(rops.to_host(ring, mlemod.evaluate(ring, mz, rs))))
+
+    lcccs_s = []
+    for k in range(dp.K):
+        transcript.absorb_slice(x_s[k])
+        transcript.absorb_slice(y_s[k].vals)
+        transcript.absorb_slice(u_s[k])
+        transcript.absorb_slice(v_s[k])
+        lcccs_s.append(
+            LCCCS(
+                r=list(cm_i.r), v=v_s[k], cm=y_s[k], u=u_s[k],
+                x_w=x_s[k][:-1], h=x_s[k][-1],
+            )
+        )
+
+    proof = DecompositionProof(u_s=u_s, v_s=v_s, x_s=x_s, y_s=y_s)
+    return mz_mles, lcccs_s, wit_s, proof
+
+
+def verify(
+    cm_i: LCCCS,
+    proof: DecompositionProof,
+    transcript: Transcript,
+    ccs: CCS,
+    dp: DecompositionParams,
+):
+    """decomposition.rs:94-155."""
+    ring = ccs.ring
+    lcccs_s = []
+    for k in range(dp.K):
+        x, y, u, v = proof.x_s[k], proof.y_s[k], proof.u_s[k], proof.v_s[k]
+        transcript.absorb_slice(x)
+        transcript.absorb_slice(y.vals)
+        transcript.absorb_slice(u)
+        transcript.absorb_slice(v)
+        lcccs_s.append(
+            LCCCS(r=list(cm_i.r), v=list(v), cm=y, u=list(u), x_w=x[:-1], h=x[-1])
+        )
+
+    b_s = [ring.embed_int(dp.b**i) for i in range(dp.K)]
+
+    def recompose(vecs):
+        length = len(vecs[0])
+        return [
+            _linear_combo(ring, [vec[j] for vec in vecs], b_s) for j in range(length)
+        ]
+
+    y = Commitment.zeroed(ring, len(cm_i.cm.vals))
+    for y_k, b_k in zip(proof.y_s, b_s):
+        y = y + y_k.mul_ring(b_k)
+    if y != cm_i.cm:
+        raise DecompositionError("commitment recomposition failed")
+
+    if recompose(proof.v_s) != list(cm_i.v):
+        raise DecompositionError("v recomposition failed")
+    if recompose(proof.u_s) != list(cm_i.u):
+        raise DecompositionError("u recomposition failed")
+    x_w = recompose(proof.x_s)
+    h = x_w.pop()
+    if x_w != list(cm_i.x_w) or h != cm_i.h:
+        raise DecompositionError("statement recomposition failed")
+
+    return lcccs_s
+
+
+def _linear_combo(ring: Ring, elts, coeffs):
+    acc = ring.zero()
+    for e, c in zip(elts, coeffs):
+        acc = ring.radd(acc, ring.rmul(e, c))
+    return acc

@@ -1,0 +1,100 @@
+"""Device MLE engine.
+
+Evaluation tables of multilinear extensions over the ring, stored as
+``[N, ncomp, e, nl]`` (or stacked ``[nm, N, ...]``) uint32 Montgomery arrays.
+Index bit 0 of the hypercube axis is variable 0, matching the reference's
+``fix_variables``/``build_eq_x_r`` conventions
+(/root/reference/crates/latticefold/src/utils/sumcheck/prover.rs:111-124,
+utils/sumcheck/utils.rs:134-166).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..rings import ops as rops
+from ..rings.construct import Ring
+
+
+def _hyper_axis(mles) -> int:
+    return mles.ndim - 4  # [..., N, ncomp, e, nl]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def fold(ring: Ring, mles, c):
+    """Fix variable 0 to the diagonal K element ``c`` [e, nl]:
+    out[j] = (1-c)*mle[2j] + c*mle[2j+1]  (the (1-r)/r low-bit fold)."""
+    ax = _hyper_axis(mles)
+    idx_even = tuple(slice(None) for _ in range(ax)) + (slice(0, None, 2),)
+    idx_odd = tuple(slice(None) for _ in range(ax)) + (slice(1, None, 2),)
+    a0 = mles[idx_even]
+    a1 = mles[idx_odd]
+    return rops.ring_add(ring, a0, rops.scalar_mul(ring, rops.ring_sub(ring, a1, a0), c))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def evaluate(ring: Ring, mles, rs):
+    """Evaluate at point ``rs`` [nvars, e, nl] (diagonal K coords).
+
+    ``mles``: [..., 2^nvars, ncomp, e, nl] -> [..., ncomp, e, nl].
+    """
+    nvars = rs.shape[0]
+    cur = mles
+    for i in range(nvars):
+        cur = fold(ring, cur, rs[i])
+    ax = _hyper_axis(cur)
+    return jnp.squeeze(cur, axis=ax)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def build_eq(ring: Ring, rs):
+    """eq(x, r) evaluation table [2^nvars, ncomp, e, nl] for ``rs`` [nvars, e, nl].
+
+    Same doubling recursion as build_eq_x_r_vec (utils/sumcheck/utils.rs:113-166):
+    index bit i corresponds to r_i.
+    """
+    nvars = rs.shape[0]
+    one = _one_elt(ring)
+    buf = one[None]  # [1, ncomp, e, nl]
+    for i in range(nvars - 1, -1, -1):
+        t = rops.scalar_mul(ring, buf, rs[i])
+        both = jnp.stack([rops.ring_sub(ring, buf, t), t], axis=1)
+        buf = both.reshape((-1,) + buf.shape[1:])
+    return buf
+
+
+@functools.lru_cache(maxsize=None)
+def _one_elt_np(ring: Ring):
+    R = 1 << (32 * ring.nl)
+    vals = np.zeros((ring.ncomp, ring.e), dtype=object)
+    vals[:, 0] = R % ring.q  # Montgomery one in every component
+    return ring.fq.encode(vals)
+
+
+def _one_elt(ring: Ring):
+    return jnp.asarray(_one_elt_np(ring))
+
+
+def zeros(ring: Ring, shape) -> jnp.ndarray:
+    return jnp.zeros(tuple(shape) + (ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
+
+
+def pad_to(ring: Ring, mle, n: int):
+    """Zero-pad the hypercube axis up to length n (power of two)."""
+    ax = _hyper_axis(mle)
+    cur = mle.shape[ax]
+    if cur == n:
+        return mle
+    pad = [(0, 0)] * mle.ndim
+    pad[ax] = (0, n - cur)
+    return jnp.pad(mle, pad)
+
+
+def point_to_device(ring: Ring, rs) -> jnp.ndarray:
+    """List of K elements -> [nvars, e, nl] Montgomery array."""
+    return jnp.stack([rops.k_to_device(ring, r) for r in rs]) if rs else jnp.zeros((0, ring.e, ring.nl), dtype=jnp.uint32)

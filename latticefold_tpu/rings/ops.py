@@ -32,6 +32,7 @@ def mat_apply(m: mo.Modulus, M, x):
     materialization and a compile-time independent of d (VPU path; the
     int8-limb MXU path in rings/mxu.py supersedes this for large batches).
     """
+    M = jnp.asarray(M)
     din, dout = M.shape[0], M.shape[1]
     acc0 = jnp.zeros(x.shape[:-2] + (dout, x.shape[-1]), dtype=x.dtype)
 
@@ -46,9 +47,10 @@ def mat_apply(m: mo.Modulus, M, x):
 
 @functools.lru_cache(maxsize=None)
 def _device_mat(ring: Ring, which: str):
-    # [d, d, nl]: rows indexed by input coefficient, columns by output coord.
+    # [din, dout, nl]. Kept as numpy: safe to embed as a constant in any trace
+    # (caching a jnp array created inside a jit trace leaks tracers).
     mat = ring.np_matrix(which, mont=True)  # [dout, din, nl] (row=output)
-    return jnp.asarray(np.transpose(mat, (1, 0, 2)))  # -> [din, dout, nl]
+    return np.ascontiguousarray(np.transpose(mat, (1, 0, 2)))
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -72,12 +74,12 @@ def icrt(ring: Ring, x):
 
 @functools.lru_cache(maxsize=None)
 def _red_rows(ring: Ring):
-    """[e-1, e, nl] Montgomery coords of y^(e+k) mod m(y)."""
+    """[e-1, e, nl] Montgomery coords of y^(e+k) mod m(y) (numpy constant)."""
     if ring.e == 1:
         return None
     R = 1 << (32 * ring.nl)
     rows = [[v * R % ring.q for v in row] for row in ring.K.red_rows]
-    return jnp.asarray(ring.fq.encode(np.array(rows, dtype=object)))
+    return ring.fq.encode(np.array(rows, dtype=object))
 
 
 @functools.partial(jax.jit, static_argnums=0)

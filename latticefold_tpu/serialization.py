@@ -1,0 +1,188 @@
+"""Canonical byte serialization for proofs and accumulator state.
+
+The reference persists proofs via ark-serialize derives (nifs.rs:28-34) but
+cannot serialize IVC state (no derives on Witness — SURVEY.md §5.4). Here both
+are first-class: deterministic little-endian layout, u32 length prefixes,
+field elements as fixed 4*nl-byte LE integers. This is the checkpoint/resume
+format for long folding chains.
+"""
+
+from __future__ import annotations
+
+import struct
+from io import BytesIO
+from typing import List
+
+import numpy as np
+
+from .arith.ccs import Commitment, LCCCS
+from .nifs import LFProof
+from .nifs.decomposition import DecompositionProof
+from .nifs.folding import FoldingProof
+from .nifs.linearization import LinearizationProof
+from .rings.construct import Ring
+from .sumcheck import SumcheckProof
+
+MAGIC = b"LFTPU1\0\0"
+
+
+class Writer:
+    def __init__(self, ring: Ring):
+        self.ring = ring
+        self.buf = BytesIO()
+
+    def u32(self, v: int):
+        self.buf.write(struct.pack("<I", v))
+
+    def fq(self, v: int):
+        self.buf.write(int(v).to_bytes(4 * self.ring.nl, "little"))
+
+    def k_elt(self, k):
+        for c in k:
+            self.fq(c)
+
+    def ring_elt(self, r):
+        for comp in r:
+            self.k_elt(comp)
+
+    def ring_vec(self, v):
+        self.u32(len(v))
+        for r in v:
+            self.ring_elt(r)
+
+    def k_vec(self, v):
+        self.u32(len(v))
+        for k in v:
+            self.k_elt(k)
+
+    def commitment(self, cm: Commitment):
+        self.ring_vec(cm.vals)
+
+    def getvalue(self) -> bytes:
+        return self.buf.getvalue()
+
+
+class Reader:
+    def __init__(self, ring: Ring, data: bytes):
+        self.ring = ring
+        self.buf = BytesIO(data)
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.buf.read(4))[0]
+
+    def fq(self) -> int:
+        return int.from_bytes(self.buf.read(4 * self.ring.nl), "little")
+
+    def k_elt(self):
+        return tuple(self.fq() for _ in range(self.ring.e))
+
+    def ring_elt(self):
+        return tuple(self.k_elt() for _ in range(self.ring.ncomp))
+
+    def ring_vec(self):
+        return [self.ring_elt() for _ in range(self.u32())]
+
+    def k_vec(self):
+        return [self.k_elt() for _ in range(self.u32())]
+
+    def commitment(self) -> Commitment:
+        return Commitment(self.ring, self.ring_vec())
+
+
+# ---------------------------------------------------------------------------
+
+
+def _write_sumcheck(w: Writer, p: SumcheckProof):
+    w.u32(len(p.round_evals))
+    for evals in p.round_evals:
+        w.ring_vec(evals)
+
+
+def _read_sumcheck(r: Reader) -> SumcheckProof:
+    return SumcheckProof([r.ring_vec() for _ in range(r.u32())])
+
+
+def _write_nested(w: Writer, vv: List[list]):
+    w.u32(len(vv))
+    for v in vv:
+        w.ring_vec(v)
+
+
+def _read_nested(r: Reader):
+    return [r.ring_vec() for _ in range(r.u32())]
+
+
+def serialize_proof(ring: Ring, proof: LFProof) -> bytes:
+    w = Writer(ring)
+    w.buf.write(MAGIC)
+    lp = proof.linearization_proof
+    _write_sumcheck(w, lp.sumcheck)
+    w.ring_vec(lp.v)
+    w.ring_vec(lp.u)
+    for dp in (proof.decomposition_proof_l, proof.decomposition_proof_r):
+        _write_nested(w, dp.u_s)
+        _write_nested(w, dp.v_s)
+        _write_nested(w, dp.x_s)
+        w.u32(len(dp.y_s))
+        for y in dp.y_s:
+            w.commitment(y)
+    fp = proof.folding_proof
+    _write_sumcheck(w, fp.sumcheck)
+    _write_nested(w, fp.theta_s)
+    _write_nested(w, fp.eta_s)
+    return w.getvalue()
+
+
+def deserialize_proof(ring: Ring, data: bytes) -> LFProof:
+    r = Reader(ring, data)
+    assert r.buf.read(8) == MAGIC, "bad magic"
+    lp = LinearizationProof(sumcheck=_read_sumcheck(r), v=r.ring_vec(), u=r.ring_vec())
+    dps = []
+    for _ in range(2):
+        u_s = _read_nested(r)
+        v_s = _read_nested(r)
+        x_s = _read_nested(r)
+        y_s = [r.commitment() for _ in range(r.u32())]
+        dps.append(DecompositionProof(u_s=u_s, v_s=v_s, x_s=x_s, y_s=y_s))
+    fp = FoldingProof(sumcheck=_read_sumcheck(r), theta_s=_read_nested(r), eta_s=_read_nested(r))
+    return LFProof(
+        linearization_proof=lp,
+        decomposition_proof_l=dps[0],
+        decomposition_proof_r=dps[1],
+        folding_proof=fp,
+    )
+
+
+def serialize_lcccs(ring: Ring, acc: LCCCS) -> bytes:
+    w = Writer(ring)
+    w.buf.write(MAGIC)
+    w.k_vec(acc.r)
+    w.ring_vec(acc.v)
+    w.commitment(acc.cm)
+    w.ring_vec(acc.u)
+    w.ring_vec(acc.x_w)
+    w.ring_elt(acc.h)
+    return w.getvalue()
+
+
+def deserialize_lcccs(ring: Ring, data: bytes) -> LCCCS:
+    r = Reader(ring, data)
+    assert r.buf.read(8) == MAGIC, "bad magic"
+    return LCCCS(
+        r=r.k_vec(), v=r.ring_vec(), cm=r.commitment(), u=r.ring_vec(),
+        x_w=r.ring_vec(), h=r.ring_elt(),
+    )
+
+
+def serialize_witness_f(ring: Ring, f_coeff) -> bytes:
+    """Witness persistence: the canonical f_coeff digits [N, d, nl] (the rest
+    of the Witness is recomputable via Witness.from_f_coeff)."""
+    arr = np.asarray(f_coeff, dtype=np.uint32)
+    header = struct.pack("<III", arr.shape[0], arr.shape[1], arr.shape[2])
+    return MAGIC + header + arr.tobytes()
+
+
+def deserialize_witness_f(ring: Ring, data: bytes):
+    assert data[:8] == MAGIC
+    n, d, nl = struct.unpack("<III", data[8:20])
+    return np.frombuffer(data[20:], dtype=np.uint32).reshape(n, d, nl)

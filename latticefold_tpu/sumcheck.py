@@ -1,0 +1,190 @@
+"""Ring-adapted multilinear sumcheck (batched TPU prover, host verifier).
+
+Protocol-identical to the reference `MLSumcheck`
+(/root/reference/crates/latticefold/src/utils/sumcheck.rs:44-104): absorb
+nvars and degree; each round the prover sends P(0..degree) evaluations
+(absorbed), the verifier squeezes a K challenge (absorbed back); the verifier
+defers all checks to the end (p0 + p1 == expected; next expected by Lagrange
+interpolation, verifier.rs:92-257).
+
+The prover's per-pair extrapolation loop (prover.rs:111-143) is vectorized
+across the entire hypercube: one jitted kernel per round computes all
+``degree+1`` evaluation points by step accumulation and tree-reduces the
+combined values mod q.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .poly import mle as mlemod
+from .rings import ops as rops
+from .rings.construct import Ring
+from .transcript import Transcript
+
+
+class CombFn:
+    """Hashable wrapper for a comb function (stable jit cache key).
+
+    ``fn(vals, consts)`` maps stacked MLE values [nm, M, ncomp, e, nl] plus a
+    pytree of runtime constants (challenge-derived device arrays — passed as
+    traced arguments so re-running with new challenges never recompiles) to
+    combined polynomial values [M, ncomp, e, nl].
+    """
+
+    def __init__(self, ring: Ring, fn: Callable, key: str):
+        self.ring = ring
+        self.fn = fn
+        self.key = key
+
+    def __hash__(self):
+        return hash((id(self.ring), self.key))
+
+    def __eq__(self, other):
+        return isinstance(other, CombFn) and (id(self.ring), self.key) == (
+            id(other.ring),
+            other.key,
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _round_kernel(comb: CombFn, degree: int):
+    ring = comb.ring
+
+    @jax.jit
+    def kernel(mles, consts):
+        a0 = mles[:, 0::2]
+        a1 = mles[:, 1::2]
+        evs = [
+            rops.ring_sum(ring, comb.fn(a0, consts), 0),
+            rops.ring_sum(ring, comb.fn(a1, consts), 0),
+        ]
+        if degree >= 2:
+            step = rops.ring_sub(ring, a1, a0)
+            cur = a1
+            for _ in range(2, degree + 1):
+                cur = rops.ring_add(ring, cur, step)
+                evs.append(rops.ring_sum(ring, comb.fn(cur, consts), 0))
+        return jnp.stack(evs)
+
+    return kernel
+
+
+@dataclass
+class SumcheckProof:
+    round_evals: List[List[tuple]]  # nvars rounds x (degree+1) host ring elements
+
+
+def prove(
+    ring: Ring,
+    transcript: Transcript,
+    mles,
+    nvars: int,
+    degree: int,
+    comb: CombFn,
+    comb_consts=(),
+):
+    """Run the sumcheck prover.
+
+    ``mles``: [nm, 2^nvars, ncomp, e, nl]. Returns
+    (SumcheckProof, challenges (K elts), final_vals [nm, ncomp, e, nl]) where
+    final_vals[i] = mle_i(r) — the fully folded tables (free evaluation claims).
+    """
+    assert mles.shape[1] == 1 << nvars
+    transcript.absorb(ring.embed_int(nvars))
+    transcript.absorb(ring.embed_int(degree))
+    kernel = _round_kernel(comb, degree)
+    challenges = []
+    round_evals = []
+    cur = mles
+    for _ in range(nvars):
+        evs_dev = kernel(cur, comb_consts)  # [degree+1, ncomp, e, nl]
+        evs_host = list(rops.to_host(ring, evs_dev))
+        transcript.absorb_slice(evs_host)
+        round_evals.append(evs_host)
+        c = transcript.get_challenge()
+        transcript.absorb_field_element(c)
+        challenges.append(c)
+        cur = mlemod.fold(ring, cur, rops.k_to_device(ring, c))
+    final_vals = jnp.squeeze(cur, axis=1)
+    return SumcheckProof(round_evals), challenges, final_vals
+
+
+# ---------------------------------------------------------------------------
+# host verifier
+# ---------------------------------------------------------------------------
+
+
+def interpolate_uni_poly(ring: Ring, evals: Sequence[tuple], r) -> tuple:
+    """Lagrange-interpolate P through (i, evals[i]) and evaluate at K point r.
+
+    Host equivalent of verifier.rs:139-257 (the factorial-ratio optimization
+    is unnecessary at host scale; plain Lagrange over K).
+    """
+    K = ring.K
+    n = len(evals)
+    # if r is one of the sample points, return directly
+    for i in range(n):
+        if r == K.embed(i):
+            return evals[i]
+    result = ring.zero()
+    for i in range(n):
+        num = K.one()
+        den = K.one()
+        for j in range(n):
+            if j == i:
+                continue
+            num = K.mul(num, K.sub(r, K.embed(j)))
+            den = K.mul(den, K.sub(K.embed(i), K.embed(j)))
+        lag = K.mul(num, K.inv(den))
+        result = ring.radd(result, ring.rmul(evals[i], ring.embed_k(lag)))
+    return result
+
+
+class SumcheckError(Exception):
+    pass
+
+
+def verify(
+    ring: Ring,
+    transcript: Transcript,
+    nvars: int,
+    degree: int,
+    claimed_sum,
+    proof: SumcheckProof,
+):
+    """Returns (point (list of K elts), expected_evaluation (ring elt))."""
+    transcript.absorb(ring.embed_int(nvars))
+    transcript.absorb(ring.embed_int(degree))
+    challenges = []
+    for rnd in range(nvars):
+        evals = proof.round_evals[rnd]
+        if len(evals) != degree + 1:
+            raise SumcheckError("wrong number of evaluations")
+        transcript.absorb_slice(evals)
+        c = transcript.get_challenge()
+        transcript.absorb_field_element(c)
+        challenges.append(c)
+    expected = claimed_sum
+    for rnd in range(nvars):
+        evals = proof.round_evals[rnd]
+        if ring.radd(evals[0], evals[1]) != expected:
+            raise SumcheckError(f"sumcheck round {rnd}: p0+p1 != expected")
+        expected = interpolate_uni_poly(ring, evals, challenges[rnd])
+    return challenges, expected
+
+
+def eq_eval(ring: Ring, xs: Sequence[tuple], ys: Sequence[tuple]) -> tuple:
+    """eq(x, y) for K points (utils/sumcheck/utils.rs:78-92), as a ring elt."""
+    K = ring.K
+    res = K.one()
+    for x, y in zip(xs, ys):
+        xy = K.mul(x, y)
+        term = K.add(K.add(xy, xy), K.sub(K.sub(K.one(), x), y))
+        res = K.mul(res, term)
+    return ring.embed_k(res)

@@ -65,7 +65,15 @@ def bytes_needed(ring: Ring) -> int:
 class Transcript:
     def __init__(self, ring: Ring):
         self.ring = ring
-        self.sponge = PoseidonSponge(get_config(ring.q))
+        cfg = get_config(ring.q)
+        sponge = None
+        if ring.q.bit_length() <= 64:  # native C++ engine for 64-bit fields
+            from ..native import NativeSponge, get_lib
+
+            lib = get_lib()
+            if lib is not None:
+                sponge = NativeSponge(cfg, lib)
+        self.sponge = sponge if sponge is not None else PoseidonSponge(cfg)
 
     # -- absorbing ----------------------------------------------------------
     def absorb(self, elt):

@@ -1,0 +1,101 @@
+"""Witness pipeline round-trips and Ajtai commitment closed-form checks."""
+
+import random
+
+import numpy as np
+import pytest
+
+import latticefold_tpu.modops as mo
+import latticefold_tpu.rings.ops as rops
+from latticefold_tpu.arith.ccs import CCS, get_test_r1cs, get_test_z
+from latticefold_tpu.arith.witness import Witness, gadget_decompose, gadget_recompose
+from latticefold_tpu.commitment import AjtaiScheme
+from latticefold_tpu.params import DP_TEST, DecompositionParams
+from latticefold_tpu.rings.construct import get_ring
+
+
+def rand_ring_elts(ring, rng, n):
+    return [
+        tuple(tuple(rng.randrange(ring.q) for _ in range(ring.e)) for _ in range(ring.ncomp))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("name,dp", [
+    ("goldilocks", DecompositionParams(B=1 << 15, L=5, b=2, K=15)),
+    ("frog", DecompositionParams(B=1 << 8, L=8, b=2, K=10)),
+    ("stark", DecompositionParams(B=10485760000, L=8, b=320, K=4)),
+])
+def test_witness_roundtrip(name, dp):
+    """from_w_ccs -> digits bounded, recompose matches (arith.rs:504-548)."""
+    ring = get_ring(name)
+    rng = random.Random(1)
+    n_w = 8
+    w_host = rand_ring_elts(ring, rng, n_w)
+    w_dev = rops.to_device(ring, w_host)
+    wit = Witness.from_w_ccs(ring, dp, w_dev, n_pad=n_w * dp.L)
+
+    # digits below bound B
+    assert wit.within_bound(dp.B)
+    # recomposition returns the original witness
+    rec = gadget_recompose(ring, dp, wit.f)
+    assert list(rops.to_host(ring, rec)) == w_host
+
+    # from_f and from_f_coeff reproduce identical data
+    wit2 = Witness.from_f(ring, dp, wit.f, n_pad=n_w * dp.L)
+    assert np.array_equal(np.asarray(wit2.f_hat), np.asarray(wit.f_hat))
+    assert list(rops.to_host(ring, wit2.w_ccs)) == w_host
+    wit3 = Witness.from_f_coeff(ring, dp, wit.f_coeff, n_pad=n_w * dp.L)
+    assert np.array_equal(np.asarray(wit3.f), np.asarray(wit.f))
+
+
+def test_fhat_packing_matches_reference_semantics():
+    """get_fhat KAT from arith.rs:456-502: coefficients become subfield
+    constants in NTT components, chunk-major."""
+    ring = get_ring("goldilocks")
+    f1 = [1, 2, 3] + [0] * 21
+    f2 = [4, 5, 6] + [1] * 21
+    coeffs = np.array([f1, f2], dtype=object)
+    dev = ring.fq.encode(coeffs)
+    from latticefold_tpu.arith.witness import make_fhat
+
+    fhat = make_fhat(ring, np.asarray(dev), 2)  # [tau=3, 2, ncomp=8, e=3, nl]
+    host = rops.to_host(ring, fhat)
+    K = ring.K
+    # row 0 of f1: components = consts 1,2,3,0,0,0,0,0
+    assert host[0][0] == tuple(K.embed(v) for v in [1, 2, 3, 0, 0, 0, 0, 0])
+    assert host[0][1] == tuple(K.embed(v) for v in [4, 5, 6, 1, 1, 1, 1, 1])
+    assert host[1][0] == ring.zero()
+    assert host[1][1] == ring.one()
+    assert host[2][0] == ring.zero()
+    assert host[2][1] == ring.one()
+
+
+def test_ajtai_commit_closed_form():
+    """commit_ntt closed-form test (commitment_scheme.rs:141-159)."""
+    ring = get_ring("goldilocks")
+    n, kappa = 1 << 8, 9
+    scheme = AjtaiScheme.identity_like(ring, kappa, n)
+    two = [ring.embed_int(2)] * n
+    cm = scheme.commit(rops.to_device(ring, two))
+    for i, x in enumerate(cm.vals):
+        expected = (n * (2 * i * n + (n - 1))) % ring.q
+        assert x == ring.embed_int(expected)
+
+
+def test_ccs_relation():
+    ring = get_ring("goldilocks")
+    r1cs = get_test_r1cs(ring)
+    ccs = CCS.from_r1cs_padded(ring, r1cs, W=4, L=DP_TEST.L)
+    z = get_test_z(ring, 3)
+    assert ccs.check_relation_host(z)
+    z_bad = list(z)
+    z_bad[2] = ring.embed_int(999)
+    assert not ccs.check_relation_host(z_bad)
+
+    # device SpMV agrees with host
+    z_dev = rops.to_device(ring, z)
+    for M in ccs.M:
+        host = M.mat_vec_host(z)
+        dev = list(rops.to_host(ring, M.mat_vec(z_dev)))
+        assert dev == host

@@ -1,0 +1,94 @@
+"""End-to-end NIFS prove/verify (mirrors nifs/tests.rs:119-203 and examples/e2e.rs)."""
+
+import copy
+
+import pytest
+
+import latticefold_tpu.nifs as nifs
+import latticefold_tpu.nifs.linearization as linearization
+import latticefold_tpu.rings.ops as rops
+from latticefold_tpu.arith.ccs import CCCS, CCS, get_test_r1cs, get_test_z_split
+from latticefold_tpu.arith.witness import Witness
+from latticefold_tpu.commitment import AjtaiScheme
+from latticefold_tpu.params import DP_GOLDILOCKS
+from latticefold_tpu.rings.construct import get_ring
+from latticefold_tpu.transcript import Transcript
+
+KAPPA = 4
+
+
+def setup(name="goldilocks", dp=DP_GOLDILOCKS, inp=3):
+    ring = get_ring(name)
+    r1cs = get_test_r1cs(ring)
+    ccs = CCS.from_r1cs_padded(ring, r1cs, W=4, L=dp.L)
+    one, x_ccs, w_host = get_test_z_split(ring, inp)
+    n_w = len(w_host)
+    scheme = AjtaiScheme(ring, KAPPA, n_w * dp.L, seed=7)
+    w_dev = rops.to_device(ring, w_host)
+    wit = Witness.from_w_ccs(ring, dp, w_dev, n_pad=ccs.m)
+    cm = wit.commit(scheme)
+    cm_i = CCCS(cm=cm, x_ccs=x_ccs)
+    return ring, ccs, scheme, cm_i, wit
+
+
+def bootstrap_acc(ring, ccs, cm_i, wit):
+    """Linearize once to seed the accumulator (examples/e2e.rs:77-92)."""
+    t = Transcript(ring)
+    acc, _ = linearization.prove(cm_i, wit, t, ccs)
+    return acc
+
+
+def test_nifs_e2e_goldilocks():
+    ring, ccs, scheme, cm_i, wit = setup()
+    acc = bootstrap_acc(ring, ccs, cm_i, wit)
+    w_acc = wit
+
+    tp = Transcript(ring)
+    folded, w0, proof = nifs.prove(acc, w_acc, cm_i, wit, tp, ccs, scheme, DP_GOLDILOCKS)
+
+    tv = Transcript(ring)
+    folded_v = nifs.verify(acc, cm_i, proof, tv, ccs, DP_GOLDILOCKS)
+
+    # prover and verifier agree on the folded accumulator (completeness +
+    # transcript consistency)
+    assert folded_v.r == folded.r
+    assert folded_v.v == folded.v
+    assert folded_v.cm == folded.cm
+    assert folded_v.u == folded.u
+    assert folded_v.x_w == folded.x_w
+    assert folded_v.h == folded.h
+
+    # the folded witness opens the folded commitment
+    assert w0.commit(scheme) == folded.cm
+
+
+def test_nifs_second_fold_and_rejection():
+    ring, ccs, scheme, cm_i, wit = setup()
+    acc = bootstrap_acc(ring, ccs, cm_i, wit)
+
+    tp = Transcript(ring)
+    folded, w0, proof = nifs.prove(acc, wit, cm_i, wit, tp, ccs, scheme, DP_GOLDILOCKS)
+
+    # IVC-style second step: fold a fresh instance into the accumulator
+    tp2 = Transcript(ring)
+    folded2, w2, proof2 = nifs.prove(folded, w0, cm_i, wit, tp2, ccs, scheme, DP_GOLDILOCKS)
+    tv2 = Transcript(ring)
+    folded2_v = nifs.verify(folded, cm_i, proof2, tv2, ccs, DP_GOLDILOCKS)
+    assert folded2_v.v == folded2.v
+    assert folded2_v.cm == folded2.cm
+    assert w2.commit(scheme) == folded2.cm
+
+    # corrupted proof must be rejected
+    bad = copy.deepcopy(proof)
+    ring_one = ring.one()
+    bad.folding_proof.theta_s[0][0] = ring.radd(bad.folding_proof.theta_s[0][0], ring_one)
+    tv = Transcript(ring)
+    with pytest.raises(Exception):
+        nifs.verify(acc, cm_i, bad, tv, ccs, DP_GOLDILOCKS)
+
+    # corrupted linearization v must be rejected downstream
+    bad2 = copy.deepcopy(proof)
+    bad2.linearization_proof.u[0] = ring.radd(bad2.linearization_proof.u[0], ring_one)
+    tv = Transcript(ring)
+    with pytest.raises(Exception):
+        nifs.verify(acc, cm_i, bad2, tv, ccs, DP_GOLDILOCKS)

@@ -1,0 +1,141 @@
+"""Sumcheck prove/verify round-trips (mirrors utils/sumcheck.rs:107-313)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import latticefold_tpu.rings.ops as rops
+import latticefold_tpu.sumcheck as sc
+from latticefold_tpu.poly import mle as mlemod
+from latticefold_tpu.rings.construct import get_ring
+from latticefold_tpu.transcript import Transcript
+
+RINGS = ["goldilocks", "frog"]
+
+
+def rand_ring_elt(ring, rng):
+    return tuple(
+        tuple(rng.randrange(ring.q) for _ in range(ring.e)) for _ in range(ring.ncomp)
+    )
+
+
+def host_mle_evaluate(ring, evals, point):
+    """Oracle: sum_x eq(point, x) * evals[x] with host arithmetic."""
+    nvars = len(point)
+    acc = ring.zero()
+    K = ring.K
+    for x in range(1 << nvars):
+        w = K.one()
+        for i in range(nvars):
+            bit = (x >> i) & 1
+            w = K.mul(w, point[i] if bit else K.sub(K.one(), point[i]))
+        acc = ring.radd(acc, ring.rmul(ring.embed_k(w), evals[x]))
+    return acc
+
+
+@pytest.mark.parametrize("name", RINGS)
+def test_mle_fold_evaluate_build_eq(name):
+    ring = get_ring(name)
+    rng = random.Random(17)
+    nvars = 4
+    evals = [rand_ring_elt(ring, rng) for _ in range(1 << nvars)]
+    point = [tuple(rng.randrange(ring.q) for _ in range(ring.e)) for _ in range(nvars)]
+
+    dev = rops.to_device(ring, evals)
+    rs = mlemod.point_to_device(ring, point)
+    got = rops.to_host(ring, mlemod.evaluate(ring, dev, rs))
+    assert got == host_mle_evaluate(ring, evals, point)
+
+    # build_eq: table entries are eq(x, r) and sum to 1... sum_x eq(x,r) == 1
+    eq = mlemod.build_eq(ring, rs)
+    total = rops.to_host(ring, rops.ring_sum(ring, eq, 0))
+    assert total == ring.one()
+    # spot-check one entry: eq at x=0b0101
+    x = 0b0101
+    K = ring.K
+    w = K.one()
+    for i in range(nvars):
+        bit = (x >> i) & 1
+        w = K.mul(w, point[i] if bit else K.sub(K.one(), point[i]))
+    assert rops.to_host(ring, eq[x]) == ring.embed_k(w)
+
+
+def rand_products_poly(ring, rng, nvars, max_mults, nprods):
+    """Random sum-of-products polynomial like utils/sumcheck/utils.rs:24-62."""
+    mles_host = []
+    products = []
+    coeffs = []
+    degree = 0
+    for _ in range(nprods):
+        nm = rng.randrange(2, max_mults + 1)
+        degree = max(degree, nm)
+        idxs = []
+        for _ in range(nm):
+            idxs.append(len(mles_host))
+            mles_host.append([rand_ring_elt(ring, rng) for _ in range(1 << nvars)])
+        products.append(tuple(idxs))
+        coeffs.append(rand_ring_elt(ring, rng))
+    # true sum over hypercube
+    total = ring.zero()
+    for x in range(1 << nvars):
+        for c, idxs in zip(coeffs, products):
+            term = c
+            for i in idxs:
+                term = ring.rmul(term, mles_host[i][x])
+            total = ring.radd(total, term)
+    return mles_host, products, coeffs, degree, total
+
+
+def make_products_comb(ring, products):
+    def fn(vals, consts):
+        coeffs = consts
+        acc = None
+        for ci, idxs in enumerate(products):
+            term = vals[idxs[0]]
+            for j in idxs[1:]:
+                term = rops.ring_mul(ring, term, vals[j])
+            term = rops.ring_mul(ring, term, coeffs[ci])
+            acc = term if acc is None else rops.ring_add(ring, acc, term)
+        return acc
+
+    return sc.CombFn(ring, fn, key=f"products:{tuple(products)}")
+
+
+@pytest.mark.parametrize("name", RINGS)
+def test_sumcheck_roundtrip(name):
+    ring = get_ring(name)
+    rng = random.Random(99)
+    nvars = 5
+    mles_host, products, coeffs, degree, total = rand_products_poly(ring, rng, nvars, 3, 2)
+
+    mles_dev = rops.to_device(ring, mles_host)
+    coeffs_dev = rops.to_device(ring, coeffs)
+    comb = make_products_comb(ring, products)
+
+    t = Transcript(ring)
+    proof, chals, final_vals = sc.prove(ring, t, mles_dev, nvars, degree, comb, coeffs_dev)
+
+    tv = Transcript(ring)
+    point, expected = sc.verify(ring, tv, nvars, degree, total, proof)
+    assert point == chals
+
+    # final_vals are the MLE evaluations at the challenge point
+    for i, mh in enumerate(mles_host):
+        assert rops.to_host(ring, final_vals[i]) == host_mle_evaluate(ring, mh, point)
+
+    # the expected evaluation equals comb(mle evals at r)
+    vals_at_r = [host_mle_evaluate(ring, mh, point) for mh in mles_host]
+    got = ring.zero()
+    for c, idxs in zip(coeffs, products):
+        term = c
+        for i in idxs:
+            term = ring.rmul(term, vals_at_r[i])
+        got = ring.radd(got, term)
+    assert got == expected
+
+    # rejecting a wrong claimed sum
+    tf = Transcript(ring)
+    with pytest.raises(sc.SumcheckError):
+        sc.verify(ring, tf, nvars, degree, ring.zero(), proof)

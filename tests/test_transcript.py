@@ -64,3 +64,24 @@ def test_stark_frog_challenge_decode_kat():
     expected = [x % fq for x in
                 [-5, -53, 101, 14, 101, -111, 82, 80, 28, -94, 58, -82, 107, 40, 58, -75]]
     assert short_challenge_coeffs(frog, bs) == expected
+
+
+def test_native_sponge_matches_python():
+    """C++ engine and Python sponge are bit-identical (incl. the KATs)."""
+    from latticefold_tpu.native import NativeSponge, get_lib
+    from latticefold_tpu.transcript.poseidon import PoseidonSponge, get_config
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    cfg = get_config(GOLD.q)
+    a, b = NativeSponge(cfg, lib), PoseidonSponge(cfg)
+    for s in (a, b):
+        s.absorb([0xFF, 123, GOLD.q - 1])
+    assert a.squeeze_native(5) == b.squeeze_native(5)
+    for s in (a, b):
+        s.absorb([7])
+    assert a.squeeze_bytes(37) == b.squeeze_bytes(37)
+    assert a.squeeze_native(3) == b.squeeze_native(3)
