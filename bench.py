@@ -1,11 +1,17 @@
 """Benchmark entry: prints ONE JSON line with the headline metric.
 
-Metric: Ajtai commitments per second over the Goldilocks ring at the
-BASELINE.json microbench shape (kappa=9, witness 2^15 NTT elements — the
-reference's commit_ntt test/bench shape, commitment_scheme.rs:141-159 and
-benches/ajtai.rs). The reference repo publishes no numbers (BASELINE.md), so
-vs_baseline is reported against a self-recorded prior run when available
-(bench_baseline.json), else null.
+Headline: Ajtai commitments per second over the Goldilocks ring at the
+reference's commit_ntt bench shape (kappa=9, witness 2^15 ring elements —
+commitment_scheme.rs:141-159, benches/ajtai.rs), on the MXU byte-plane path
+(rings/mxu.py) with batched witnesses. Methodology: inputs rotate across
+iterations (no reuse of a single device buffer) and the batch dimension
+amortizes the matrix read, mirroring how the decomposition prover commits
+K-1 witnesses per fold (nifs/decomposition.py).
+
+Side metrics (NTT/CRT throughput, single-commit latency) are written to
+BENCH_DETAILS.json next to this file; the reference repo publishes no numbers
+(BASELINE.md) so vs_baseline compares against a self-recorded prior run in
+bench_baseline.json when present.
 """
 
 from __future__ import annotations
@@ -15,7 +21,19 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+def _rand_ring_batch(ring, rng, shape):
+    import jax.numpy as jnp
+    import numpy as np
+
+    ints = rng.integers(0, 1 << 62, size=tuple(shape) + (ring.ncomp, ring.e), dtype=np.uint64).astype(object)
+    ints %= ring.q
+    R = 1 << (32 * ring.nl)
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints)
+    return jnp.asarray(ring.fq.encode(mont))
 
 
 def main():
@@ -23,50 +41,83 @@ def main():
     import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    import latticefold_tpu.rings.ops as rops
-    from latticefold_tpu.commitment import AjtaiScheme, _commit
+    import jax.numpy as jnp
+
+    from latticefold_tpu import modops as mo
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.rings import mxu
     from latticefold_tpu.rings.construct import get_ring
 
     ring = get_ring("goldilocks")
     backend = jax.default_backend()
+    on_tpu = backend != "cpu"
     kappa = 9
-    n = 1 << 15 if backend != "cpu" else 1 << 11
+    n = 1 << 15 if on_tpu else 1 << 10
+    batch = 16 if on_tpu else 4
 
     scheme = AjtaiScheme(ring, kappa, n, seed=1)
     rng = np.random.default_rng(0)
-    ints = rng.integers(0, 1 << 31, size=(n, ring.ncomp, ring.e), dtype=np.int64)
-    R = 1 << (32 * ring.nl)
-    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints.astype(object))
-    import jax.numpy as jnp
-
-    f = jnp.asarray(ring.fq.encode(mont))
+    nbufs = 4
+    bufs = [_rand_ring_batch(ring, rng, (n, batch)) for _ in range(nbufs)]
 
     # warmup/compile
-    cm = _commit(ring, scheme.matrix, f)
+    cm = scheme.commit_batch(bufs[0])
     jax.block_until_ready(cm)
 
-    iters = 20 if backend != "cpu" else 3
+    iters = 30 if on_tpu else 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        cm = _commit(ring, scheme.matrix, f)
-    jax.block_until_ready(cm)
+    outs = []
+    for i in range(iters):
+        outs.append(scheme.commit_batch(bufs[i % nbufs]))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    commits_per_s = iters / dt
+    commits_per_s = iters * batch / dt
+
+    # side metric: CRT (NTT) throughput, elements/s at the witness shape
+    coeffs = mo.from_mont(ring.fq, jnp.reshape(bufs[0], (n * batch, ring.d, ring.nl)))
+    crt_out = mxu.crt(ring, coeffs)
+    jax.block_until_ready(crt_out)
+    t0 = time.perf_counter()
+    crt_iters = 10 if on_tpu else 2
+    for _ in range(crt_iters):
+        crt_out = mxu.crt(ring, coeffs)
+    jax.block_until_ready(crt_out)
+    crt_dt = time.perf_counter() - t0
+    crt_elems_per_s = crt_iters * n * batch / crt_dt
+    # one butterfly-equivalent ~ d log2(d) per element for an FFT-style NTT
+    import math
+
+    butterflies_per_s = crt_elems_per_s * ring.d * math.log2(ring.d)
+
+    details = {
+        "backend": backend,
+        "ajtai_commits_per_s": commits_per_s,
+        "ajtai_shape": {"kappa": kappa, "n": n, "batch": batch},
+        "crt_elements_per_s": crt_elems_per_s,
+        "ntt_butterfly_equiv_per_s": butterflies_per_s,
+    }
+    try:
+        with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as fh:
+            json.dump(details, fh, indent=1)
+    except OSError:
+        pass
 
     vs = None
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    base_path = os.path.join(HERE, "bench_baseline.json")
     if os.path.exists(base_path):
         try:
             base = json.load(open(base_path))
             ref = base.get("commits_per_s")
             if ref:
-                vs = commits_per_s / ref
+                vs = round(commits_per_s / ref, 3)
         except Exception:
             pass
 
     print(json.dumps({
-        "metric": f"ajtai_commits_per_s_goldilocks_k{kappa}_n{n}_{backend}",
+        "metric": f"ajtai_commits_per_s_goldilocks_k{kappa}_n{n}_b{batch}_{backend}",
         "value": round(commits_per_s, 3),
         "unit": "commits/s",
         "vs_baseline": vs,

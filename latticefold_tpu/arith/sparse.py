@@ -88,6 +88,21 @@ class SparseMatrix:
         kind, cols, coeffs = self._device()
         return _spmv(self.ring, kind, cols, coeffs, z)
 
+    def transpose_mul_scalar_host(self, ring: Ring, w: List[int]) -> List[int]:
+        """u = M^T w for F_q scalar weights (host). Requires scalar coeffs;
+        used by the LF+ set check's transpose trick (plus/setchk.py)."""
+        if not self.scalar_coeffs:
+            raise NotImplementedError("transpose trick needs F_q-scalar matrix entries")
+        q = ring.q
+        out = [0] * self.ncols
+        for i, row in enumerate(self.rows):
+            wi = w[i] if i < len(w) else 0
+            if not wi:
+                continue
+            for c, j in row:
+                out[j] = (out[j] + c * wi) % q
+        return out
+
     # host reference path (for tiny verifier-side checks / tests)
     def mat_vec_host(self, z: list):
         ring = self.ring

@@ -68,11 +68,29 @@ class AjtaiScheme:
         self.matrix = jnp.asarray(ring.fq.encode(vals))
         return self
 
+    # Above this witness length the byte-plane MXU kernel (rings/mxu.py) beats
+    # the fused VPU contraction; below it the MXU setup cost dominates.
+    _MXU_MIN_N = 1 << 9
+
+    @functools.cached_property
+    def _mxu_planes(self):
+        from .rings import mxu
+
+        return mxu.ajtai_precompute(self.ring, self.matrix)
+
     def commit_device(self, f) -> jnp.ndarray:
         """f: [n, ncomp, e, nl] -> [kappa, ncomp, e, nl]."""
         if f.shape[0] != self.n:
             raise ValueError(f"witness length {f.shape[0]} != scheme width {self.n}")
+        if self.n >= self._MXU_MIN_N:
+            return self.commit_batch(f[:, None])[:, 0]
         return _commit(self.ring, self.matrix, f)
+
+    def commit_batch(self, f) -> jnp.ndarray:
+        """Batched commit on the MXU path: f [n, Nb, ...] -> [kappa, Nb, ...]."""
+        from .rings import mxu
+
+        return mxu.ajtai_commit(self.ring, self._mxu_planes, f)
 
     def commit(self, f) -> Commitment:
         return Commitment(self.ring, list(rops.to_host(self.ring, self.commit_device(f))))

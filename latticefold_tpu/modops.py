@@ -247,17 +247,21 @@ def from_mont(m: Modulus, a):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def sum_mod(m: Modulus, a, axis: int):
-    """Tree-reduction modular sum along ``axis`` (not the limb axis)."""
+    """Tree-reduction modular sum along ``axis`` (not the limb axis).
+
+    Uses static slices (not jnp.take): gather ops fused into u32 carry-chain
+    producers miscompile on XLA:CPU 0.9.0 (see tests/test_fusion_audit.py).
+    """
     if axis < 0:
         axis += a.ndim
     n = a.shape[axis]
     while n > 1:
         half = n // 2
-        lo = jnp.take(a, jnp.arange(0, half), axis=axis)
-        hi = jnp.take(a, jnp.arange(half, 2 * half), axis=axis)
+        lo = jax.lax.slice_in_dim(a, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(a, half, 2 * half, axis=axis)
         s = add(m, lo, hi)
         if n % 2:
-            tail = jnp.take(a, jnp.arange(2 * half, n), axis=axis)
+            tail = jax.lax.slice_in_dim(a, 2 * half, n, axis=axis)
             s = jnp.concatenate([s, tail], axis=axis)
         a = s
         n = a.shape[axis]

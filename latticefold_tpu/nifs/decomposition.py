@@ -124,8 +124,17 @@ def prove(
         ring, dp, list(cm_i.x_w) + [cm_i.h]
     )
 
-    # commitments: y_1..y_{K-1} on device; y_0 derived homomorphically
-    commitments_k1 = [w.commit(scheme) for w in wit_s[1:]]
+    # commitments: y_1..y_{K-1} on device (one batched MXU matmul);
+    # y_0 derived homomorphically
+    if dp.K > 1 and scheme.n >= AjtaiScheme._MXU_MIN_N:
+        batch = jnp.stack([w.f for w in wit_s[1:]], axis=1)  # [n, K-1, ...]
+        cms = scheme.commit_batch(batch)  # [kappa, K-1, ...]
+        cms_host = rops.to_host(ring, cms)
+        commitments_k1 = [
+            Commitment(ring, list(cms_host[:, i])) for i in range(dp.K - 1)
+        ]
+    else:
+        commitments_k1 = [w.commit(scheme) for w in wit_s[1:]]
     b_elt = ring.embed_int(dp.b)
     b_sum = Commitment.zeroed(ring, scheme.kappa)
     for y_i in reversed(commitments_k1):

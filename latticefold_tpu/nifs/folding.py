@@ -104,8 +104,16 @@ def rot_lin_combination(ring: Ring, rho_coeff_s, theta_s):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def prepare_folding_mles(ring: Ring, Khalf: int, f_hat_all, mz_all, eq1, eq2, beta_eq, alphas, zetas):
+    """Two-stage on purpose (same XLA:CPU fusion hazard as fold_witnesses):
+    the horner stage multiplies with instance-axis-broadcast challenges, and
+    the combine stage slices+sums that axis."""
+    both = _folding_horner(ring, f_hat_all, mz_all, alphas, zetas)
+    return _folding_combine(ring, Khalf, both, f_hat_all, eq1, eq2, beta_eq)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _folding_horner(ring: Ring, f_hat_all, mz_all, alphas, zetas):
     """Returns stacked MLEs [5 + 2K*tau, m, ncomp, e, nl]:
     [eq(r_first), combined_1, eq(r_second), combined_2, eq(beta), f_hats...].
 
@@ -128,10 +136,13 @@ def prepare_folding_mles(ring: Ring, Khalf: int, f_hat_all, mz_all, eq1, eq2, be
 
     fh_h = horner(f_hat_all, alphas, tau)
     mz_h = horner(mz_all, zetas, t)
-    both = rops.ring_add(ring, fh_h, mz_h)  # [2K, m, ...]
+    return rops.ring_add(ring, fh_h, mz_h)  # [2K, m, ...]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _folding_combine(ring: Ring, Khalf: int, both, f_hat_all, eq1, eq2, beta_eq):
     combined_1 = rops.ring_sum(ring, both[:Khalf], 0)
     combined_2 = rops.ring_sum(ring, both[Khalf:], 0)
-
     parts = [eq1, combined_1, eq2, combined_2, beta_eq]
     fh = f_hat_all.reshape((-1,) + f_hat_all.shape[2:])  # [2K*tau, m, ...]
     return jnp.concatenate([jnp.stack(parts), fh], axis=0)
@@ -173,9 +184,14 @@ def _sub_diag(ring: Ring, a, k):
     return rops.ring_sub(ring, a, jnp.broadcast_to(k, a.shape[:-3] + (ring.ncomp,) + k.shape))
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def fold_witnesses(ring: Ring, f_all, rhos):
-    """f_0 = sum_i rho_i * f_i; f_all [2K, NL, ...], rhos [2K, ncomp, e, nl]."""
+    """f_0 = sum_i rho_i * f_i; f_all [2K, NL, ...], rhos [2K, ncomp, e, nl].
+
+    Deliberately NOT fused into one jit: XLA:CPU 0.9.0 miscompiles programs
+    that slice-and-add along an axis where a multiply operand was broadcast
+    (here rho's witness axis) — see tests/test_fusion_audit.py. Two jitted
+    stages (the mul kernel, then the tree-sum kernel) compile correctly.
+    """
     prod = rops.ring_mul(ring, f_all, rhos[:, None])
     return rops.ring_sum(ring, prod, 0)
 

@@ -1,0 +1,39 @@
+"""LatticeFold+ (eprint 2025/247) — TPU-native implementation.
+
+Capability-parity with /root/reference/crates/latticefold-plus (see module
+docstrings for per-construction citations): monomial set check (setchk),
+double-commitment range check (rgchk), commitment transformation (cm),
+mlin/lin folding, the B^2 -> 2xB decomposition step (decomp), the committed
+R1CS frontend (r1cs), and the accumulator-style prover/verifier (plus).
+
+Works over power-of-two cyclotomics (frog/stark shapes) in the coefficient
+semantics of the reference's CoeffRing, with bulk data in NTT form on device.
+"""
+
+from .mlin import LinB, LinB2, LinBX, LinParameters, Mlin, lin
+from .plus import PlusParameters, PlusProof, PlusProver, PlusVerifier, estimate_bound
+from .r1cs import ComR1CS, ComR1CSProof, linearize, verify_linearization
+from .rgchk import DecompParameters, Rg, RgInstance
+from .transcript import PlusTranscript
+
+__all__ = [
+    "ComR1CS",
+    "ComR1CSProof",
+    "DecompParameters",
+    "LinB",
+    "LinB2",
+    "LinBX",
+    "LinParameters",
+    "Mlin",
+    "PlusParameters",
+    "PlusProof",
+    "PlusProver",
+    "PlusVerifier",
+    "PlusTranscript",
+    "Rg",
+    "RgInstance",
+    "estimate_bound",
+    "lin",
+    "linearize",
+    "verify_linearization",
+]

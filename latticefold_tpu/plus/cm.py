@@ -1,0 +1,488 @@
+"""Commitment transformation (LatticeFold+ Construction 4.5).
+
+Port of /root/reference/crates/latticefold-plus/src/cm.rs semantics: turn the
+double commitments of the range check into foldable linear commitments.
+Short challenges s (3) and s' (k x d) (cm.rs:69-80); h = sum_i M_f_i s'_i and
+comh = sum_i comM_f_i s'_i (cm.rs:82-126); tensor-structured t(z) =
+tensor(c) (x) s' (x) (d'^i) (x) (X^i) (cm.rs:597-606); two degree-2 batched
+sumchecks over {eq, tau, m_tau, f, h, M*each, t0, t1} with rc-power combiner
+(cm.rs:201-342 / verifier 349-538); folded witness g = s0 tau + s1 m_tau +
+s2 f + h (cm.rs:167-183).
+
+Device mapping: h rides a monomial-gather + ring-mul + tree-sum; the ring MLE
+stack (1 + L(4+4|M|) + 2 tables of size n) runs through the scalar-challenge
+ring sumcheck (plus/sumcheck.py); openings are scalar-weighted contractions.
+comh / t(z) / claim recomputation are small host coefficient algebra.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..arith.sparse import SparseMatrix
+from ..rings import ops as rops
+from ..rings.construct import Ring
+from . import coeffring as cr
+from . import mleops
+from . import sumcheck as psc
+from .rgchk import Dcom, Rg, _const_ring_batch, dcom_verify
+from .transcript import PlusTranscript
+
+
+@dataclass
+class InstanceEvals:
+    """[1 + len(M)] groups of [tau, m_tau, f, h] openings at ro
+    (cm.rs:28-29, 316-337); coefficient-form ring elements."""
+
+    groups: List[List[list]]
+
+
+@dataclass
+class CmProof:
+    dcom: Dcom
+    comh: List[List[list]]  # [L][kappa] coeff lists
+    sumcheck_proofs: Tuple[psc.SumcheckProof, psc.SumcheckProof]
+    evals: Tuple[List[InstanceEvals], List[InstanceEvals]]
+
+
+@dataclass
+class ComX:
+    cm_g: List[List[list]]  # [L][kappa]
+    ro: List[Tuple[int, int]]  # paired sumcheck points (F_q ints)
+    vo: List[List[Tuple[list, list]]]  # [L][1+len(M)] coeff-list pairs
+
+
+@dataclass
+class Com:
+    g: List[jnp.ndarray]  # [L] device witnesses [n, ncomp, e, nl]
+    x: ComX
+
+
+class CmError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _ring_from_coeffs_dev(ring: Ring, coeffs: list) -> jnp.ndarray:
+    return rops.to_device(ring, ring.crt_host([c % ring.q for c in coeffs]))
+
+
+def calculate_t_z(
+    ring: Ring, c_z: List[int], s_prime_flat: List[list], l: int
+) -> List[list]:
+    """t(z) = tensor(c) (x) s'_flat (x) (1, d', .., d'^(l-1)) (x) (1, X, ..,
+    X^(d-1)) (cm.rs:597-606), host coefficient lists."""
+    q, d = ring.q, ring.d
+    dp = d // 2
+    tc = [1]
+    for ci in c_z:
+        tc = [y for x in tc for y in (x * ((1 - ci) % q) % q, x * ci % q)]
+    dpp = [pow(dp, i, q) for i in range(l)]
+    out = []
+    for t in tc:
+        for s in s_prime_flat:
+            base = cr.cscale(ring, t, s)
+            for dpi in dpp:
+                p = cr.cscale(ring, dpi, base)
+                for i in range(d):
+                    out.append(cr.cmul(ring, p, cr.exp_coeffs(ring, i)))
+    return out
+
+
+def _h_vectors(ring: Ring, rg: Rg, s_prime_ntt) -> List[jnp.ndarray]:
+    """h_l = sum_i M_f_i s'_i (cm.rs:82-103): monomial gather, ring mul with
+    s' [d, ...] (broadcast over rows), tree-sum the d columns."""
+    mono = jnp.asarray(cr.monomial_table_np(ring))
+    out = []
+    for inst in rg.instances:
+        acc = None
+        for kk in range(rg.dparams.k):
+            mon = mono[jnp.asarray(inst.D_idx[kk])]  # [n, d, c, e, nl]
+            prod = rops.ring_mul(ring, mon, s_prime_ntt[kk][None])
+            s = rops.ring_sum(ring, prod, 1)  # [n, c, e, nl]
+            acc = s if acc is None else rops.ring_add(ring, acc, s)
+        out.append(acc)
+    return out
+
+
+def _comh(ring: Ring, rg: Rg, s_prime_coeff) -> List[List[list]]:
+    """comh_l = sum_i comM_f_i s'_i (cm.rs:105-125), host coeff algebra."""
+    out = []
+    for inst in rg.instances:
+        kappa = len(inst.comM_f[0])
+        acc = [cr.czero(ring) for _ in range(kappa)]
+        for kk, Mi in enumerate(inst.comM_f):
+            for i in range(kappa):
+                for j in range(ring.d):
+                    acc[i] = cr.cadd(
+                        ring, acc[i], cr.cmul(ring, Mi[i][j], s_prime_coeff[kk][j])
+                    )
+        out.append(acc)
+    return out
+
+
+def _scalar_to_ring_table(ring: Ring, scalars_mont) -> jnp.ndarray:
+    """Scalar table [n, nl] -> constant-embedded ring table [n, c, e, nl]."""
+    n = scalars_mont.shape[0]
+    out = jnp.zeros((n, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
+    return out.at[:, :, 0, :].set(jnp.broadcast_to(scalars_mont[:, None, :], (n, ring.ncomp, ring.nl)))
+
+
+@functools.lru_cache(maxsize=None)
+def _cm_comb(ring: Ring, L: int, Mlen: int):
+    """comb_fn (cm.rs:285-306), degree 2."""
+    m = ring.fq
+    blk = 4 + 4 * Mlen
+
+    def fn(vals, consts):
+        (rcps,) = consts  # [L*blk + 2, nl]
+        z_idx = L * blk
+        total = None
+        for l in range(L):
+            l_idx = 1 + l * blk
+            inner = None
+            for o in range(blk):
+                term = mo.mont_mul(
+                    m, vals[l_idx + o], jnp.broadcast_to(rcps[l * blk + o], vals[l_idx + o].shape)
+                )
+                inner = term if inner is None else mo.add(m, inner, term)
+            res = rops.ext_mul(ring, vals[0], inner)
+            t0 = rops.ext_mul(ring, vals[l_idx], vals[len(vals) - 2])
+            t0 = mo.mont_mul(m, t0, jnp.broadcast_to(rcps[z_idx], t0.shape))
+            t1 = rops.ext_mul(ring, vals[l_idx], vals[len(vals) - 1])
+            t1 = mo.mont_mul(m, t1, jnp.broadcast_to(rcps[z_idx + 1], t1.shape))
+            res = mo.add(m, mo.add(m, res, t0), t1)
+            total = res if total is None else mo.add(m, total, res)
+        return total
+
+    return psc.CombFn(ring, fn, key=f"cm:{L}:{Mlen}", scalar=False)
+
+
+def _build_cm_mles(ring: Ring, rg: Rg, r: List[int], h, t_dev_pair, M) -> jnp.ndarray:
+    """[1 + L(4+4|M|) + 2, n, c, e, nl] stack (cm.rs:216-260)."""
+    mono = jnp.asarray(cr.monomial_table_np(ring))
+    eq_scalar = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, r))
+    tables = [_scalar_to_ring_table(ring, eq_scalar)]
+    for li, inst in enumerate(rg.instances):
+        tau_ring = _const_ring_batch(ring, inst.tau)
+        mtau_ring = mono[jnp.asarray(inst.m_tau_idx)]
+        group = [tau_ring, mtau_ring, inst.f_ntt, h[li]]
+        tables.extend(group)
+        for Mi in M:
+            for v in group:
+                tables.append(Mi.mat_vec(v))
+    tables.extend(t_dev_pair)
+    return jnp.stack(tables)
+
+
+def _rc_powers(ring: Ring, rc: int, n: int) -> jnp.ndarray:
+    q = ring.q
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * rc % q
+    return jnp.asarray(np.asarray(mleops.scalars_dev(ring, pows)))
+
+
+def _open_stack(ring: Ring, mles, ro: List[int]):
+    """Evaluate every stacked ring MLE at the scalar point ro."""
+    eq = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, ro))
+    vals = mleops.eval_ring_mles_scalar(ring, mles, eq)
+    host = rops.to_host(ring, vals)
+    return [ring.icrt_host(tuple(h)) for h in host]
+
+
+def _sumchecker(
+    ring: Ring, rg: Rg, mles, M, transcript: PlusTranscript
+):
+    """cm.rs:201-342: one rc-batched degree-2 sumcheck + openings."""
+    L = len(rg.instances)
+    Mlen = len(M)
+    blk = 4 + 4 * Mlen
+    nvars = rg.nvars
+
+    rc = transcript.get_challenge()
+    consts = (_rc_powers(ring, rc, L * blk + 2),)
+    comb = _cm_comb(ring, L, Mlen)
+    proof, ro, _ = psc.prove(ring, transcript, mles, nvars, 2, comb, consts)
+
+    opened = _open_stack(ring, mles, ro)
+    evals = []
+    for l in range(L):
+        l_idx = 1 + l * blk
+        groups = [opened[l_idx : l_idx + 4]]
+        for i in range(Mlen):
+            idx = l_idx + 4 + 4 * i
+            groups.append(opened[idx : idx + 4])
+        evals.append(InstanceEvals(groups=groups))
+
+    _absorb_evals(ring, evals, transcript)
+    return proof, evals, ro
+
+
+def _absorb_evals(ring: Ring, evals: List[InstanceEvals], transcript: PlusTranscript):
+    """cm.rs:586-595."""
+    for iev in evals:
+        for grp in iev.groups:
+            transcript.absorb_coeffs_slice(grp)
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+
+def cm_prove(
+    rg: Rg, M: Sequence[SparseMatrix], transcript: PlusTranscript
+) -> Tuple[Com, CmProof]:
+    """cm.rs:56-199."""
+    ring = rg.instances[0].ring
+    d = ring.d
+    k, l = rg.dparams.k, rg.dparams.l
+    n = rg.instances[0].f_ntt.shape[0]
+    L = len(rg.instances)
+
+    dcom = rg.range_check(M, transcript)
+
+    s_coeff = [transcript.short_challenge() for _ in range(3)]
+    s_prime_coeff = [[transcript.short_challenge() for _ in range(d)] for _ in range(k)]
+    s_prime_flat = [x for row in s_prime_coeff for x in row]
+
+    s_prime_ntt = jnp.stack(
+        [jnp.stack([_ring_from_coeffs_dev(ring, c) for c in row]) for row in s_prime_coeff]
+    )
+
+    h = _h_vectors(ring, rg, s_prime_ntt)
+    comh = _comh(ring, rg, s_prime_coeff)
+    for ci in comh:
+        transcript.absorb_coeffs_slice(ci)
+
+    kappa = len(comh[0])
+    log_kappa = (kappa - 1).bit_length() if kappa > 1 else 0
+    c = [transcript.get_challenges(log_kappa) for _ in range(2)]
+
+    t0 = calculate_t_z(ring, c[0], s_prime_flat, l)
+    t1 = calculate_t_z(ring, c[1], s_prime_flat, l)
+    if len(t0) > n:
+        raise CmError(f"t(z) length {len(t0)} > witness length {n}")
+    t0 += [cr.czero(ring)] * (n - len(t0))
+    t1 += [cr.czero(ring)] * (n - len(t1))
+    t0_dev = _coeff_vec_to_ntt_dev(ring, t0)
+    t1_dev = _coeff_vec_to_ntt_dev(ring, t1)
+
+    mles = _build_cm_mles(ring, rg, dcom.out.r, h, (t0_dev, t1_dev), M)
+
+    proof_a, evals_a, ro_a = _sumchecker(ring, rg, mles, M, transcript)
+    proof_b, evals_b, ro_b = _sumchecker(ring, rg, mles, M, transcript)
+
+    # Step 7: g = s0 tau + s1 m_tau + s2 f + h (cm.rs:167-183)
+    s_ntt = [_ring_from_coeffs_dev(ring, cc) for cc in s_coeff]
+    mono = jnp.asarray(cr.monomial_table_np(ring))
+    g = []
+    for li, inst in enumerate(rg.instances):
+        tau_ring = _const_ring_batch(ring, inst.tau)
+        mtau_ring = mono[jnp.asarray(inst.m_tau_idx)]
+        gi = rops.ring_mul(ring, tau_ring, s_ntt[0][None])
+        gi = rops.ring_add(ring, gi, rops.ring_mul(ring, mtau_ring, s_ntt[1][None]))
+        gi = rops.ring_add(ring, gi, rops.ring_mul(ring, inst.f_ntt, s_ntt[2][None]))
+        gi = rops.ring_add(ring, gi, h[li])
+        g.append(gi)
+
+    proof = CmProof(
+        dcom=dcom, comh=comh, sumcheck_proofs=(proof_a, proof_b),
+        evals=(evals_a, evals_b),
+    )
+    ro = list(zip(ro_a, ro_b))
+    return Com(g=g, x=proof_x(ring, proof, s_coeff, ro)), proof
+
+
+def _coeff_vec_to_ntt_dev(ring: Ring, vec: List[list]) -> jnp.ndarray:
+    elts = [ring.crt_host([c % ring.q for c in v]) for v in vec]
+    return rops.to_device(ring, elts)
+
+
+def proof_x(ring: Ring, proof: CmProof, s: List[list], ro) -> ComX:
+    """CmProof::x (cm.rs:540-579)."""
+    L = len(proof.dcom.fcoms)
+    cm_g = []
+    for l in range(L):
+        fc = proof.dcom.fcoms[l]
+        row = []
+        for i in range(len(fc.cm_f)):
+            v = cr.cmul(ring, s[0], fc.C_Mf[i])
+            v = cr.cadd(ring, v, cr.cmul(ring, s[1], fc.cm_mtau[i]))
+            v = cr.cadd(ring, v, cr.cmul(ring, s[2], fc.cm_f[i]))
+            v = cr.cadd(ring, v, proof.comh[l][i])
+            row.append(v)
+        cm_g.append(row)
+
+    vo = []
+    for l in range(L):
+        e0l = proof.evals[0][l].groups
+        e1l = proof.evals[1][l].groups
+        pairs = []
+        for g0, g1 in zip(e0l, e1l):
+            def fold3(g):
+                v = cr.cmul(ring, s[0], g[0])
+                v = cr.cadd(ring, v, cr.cmul(ring, s[1], g[1]))
+                v = cr.cadd(ring, v, cr.cmul(ring, s[2], g[2]))
+                return cr.cadd(ring, v, g[3])
+            pairs.append((fold3(g0), fold3(g1)))
+        vo.append(pairs)
+    return ComX(cm_g=cm_g, ro=ro, vo=vo)
+
+
+# ---------------------------------------------------------------------------
+# verifier
+# ---------------------------------------------------------------------------
+
+
+def cm_verify(
+    ring: Ring, proof: CmProof, M: Sequence[SparseMatrix], transcript: PlusTranscript
+) -> ComX:
+    """cm.rs:349-538."""
+    q, d = ring.q, ring.d
+    k, l = proof.dcom.dparams.k, proof.dcom.dparams.l
+    L = len(proof.evals[0])
+    Mlen = len(M)
+    blk = 4 + 4 * Mlen
+    nvars = proof.dcom.out.nvars
+
+    dcom_verify(ring, proof.dcom, transcript)
+
+    s_coeff = [transcript.short_challenge() for _ in range(3)]
+    s_prime_coeff = [[transcript.short_challenge() for _ in range(d)] for _ in range(k)]
+    s_prime_flat = [x for row in s_prime_coeff for x in row]
+
+    for ci in proof.comh:
+        transcript.absorb_coeffs_slice(ci)
+
+    kappa = len(proof.comh[0])
+    log_kappa = (kappa - 1).bit_length() if kappa > 1 else 0
+    c = [transcript.get_challenges(log_kappa) for _ in range(2)]
+
+    # u[l][ni] = sum over instance-l set openings * s' (cm.rs:389-406)
+    u = []
+    for l_i in range(L):
+        row = []
+        for e_ni in proof.dcom.out.e:
+            acc = cr.czero(ring)
+            flat_idx = 0
+            for eset in e_ni[k * l_i : k * l_i + k]:
+                for ej in eset:
+                    acc = cr.cadd(ring, acc, cr.cmul(ring, ej, s_prime_flat[flat_idx]))
+                    flat_idx += 1
+            row.append(acc)
+        u.append(row)
+
+    # tensor contractions of comh (cm.rs:408-431)
+    def tensor_scalars(cz):
+        tc = [1]
+        for ci in cz:
+            tc = [y for x in tc for y in (x * ((1 - ci) % q) % q, x * ci % q)]
+        return tc
+
+    tcs = [tensor_scalars(c[0]), tensor_scalars(c[1])]
+    tcch = []
+    for tc in tcs:
+        tcch.append([
+            _lin_comb_scalar(ring, tc, proof.comh[l_i]) for l_i in range(L)
+        ])
+
+    ros = []
+    for sc_i in range(2):
+        rc = transcript.get_challenge()
+        rcp = [1] * (L * blk + 2)
+        for i in range(1, len(rcp)):
+            rcp[i] = rcp[i - 1] * rc % q
+
+        claimed = cr.czero(ring)
+        for l_i, ev in enumerate(proof.dcom.evals):
+            l_idx = l_i * blk
+            term = cr.cconst(ring, ev.a[0] * rcp[l_idx] % q)
+            term = cr.cadd(ring, term, cr.cscale(ring, rcp[l_idx + 1], ev.b[0]))
+            term = cr.cadd(ring, term, cr.cscale(ring, rcp[l_idx + 2], ev.c[0]))
+            term = cr.cadd(ring, term, cr.cscale(ring, rcp[l_idx + 3], u[l_i][0]))
+            for i in range(Mlen):
+                idx = l_idx + 4 + i * 4
+                term = cr.cadd(ring, term, cr.cconst(ring, ev.a[1 + i] * rcp[idx] % q))
+                term = cr.cadd(ring, term, cr.cscale(ring, rcp[idx + 1], ev.b[1 + i]))
+                term = cr.cadd(ring, term, cr.cscale(ring, rcp[idx + 2], ev.c[1 + i]))
+                term = cr.cadd(ring, term, cr.cscale(ring, rcp[idx + 3], u[l_i][1 + i]))
+            z_idx = L * blk
+            term = cr.cadd(ring, term, cr.cscale(ring, rcp[z_idx], tcch[0][l_i]))
+            term = cr.cadd(ring, term, cr.cscale(ring, rcp[z_idx + 1], tcch[1][l_i]))
+            claimed = cr.cadd(ring, claimed, term)
+
+        sc_proof = proof.sumcheck_proofs[sc_i]
+        ro, expected = psc.verify(ring, transcript, nvars, 2, claimed, sc_proof)
+
+        # t0(ro), t1(ro) (cm.rs:483-492) — host MLE eval of the t tables
+        t_tabs = [
+            calculate_t_z(ring, c[0], s_prime_flat, l),
+            calculate_t_z(ring, c[1], s_prime_flat, l),
+        ]
+        t_ro = [_coeff_mle_eval(ring, tab, ro) for tab in t_tabs]
+
+        evals = proof.evals[sc_i]
+        _absorb_evals(ring, evals, transcript)
+
+        eqv = psc.eq_eval_scalar(ring, proof.dcom.out.r, ro)
+        total = cr.czero(ring)
+        for l_i, iev in enumerate(evals):
+            l_idx = l_i * blk
+            inner = cr.czero(ring)
+            for gi, grp in enumerate(iev.groups):
+                base = l_idx + (0 if gi == 0 else 4 + (gi - 1) * 4)
+                for o in range(4):
+                    inner = cr.cadd(ring, inner, cr.cscale(ring, rcp[base + o], grp[o]))
+            term = cr.cscale(ring, eqv, inner)
+            z_idx = L * blk
+            tau_eval = iev.groups[0][0]
+            term = cr.cadd(
+                ring, term,
+                cr.cscale(ring, rcp[z_idx], cr.cmul(ring, t_ro[0], tau_eval)),
+            )
+            term = cr.cadd(
+                ring, term,
+                cr.cscale(ring, rcp[z_idx + 1], cr.cmul(ring, t_ro[1], tau_eval)),
+            )
+            total = cr.cadd(ring, total, term)
+
+        if total != list(expected):
+            raise CmError(f"cm sumcheck {sc_i} claim mismatch")
+        ros.append(ro)
+
+    ro = list(zip(ros[0], ros[1]))
+    return proof_x(ring, proof, s_coeff, ro)
+
+
+def _lin_comb_scalar(ring: Ring, scalars: List[int], elts: List[list]) -> list:
+    acc = cr.czero(ring)
+    for s, e in zip(scalars, elts):
+        acc = cr.cadd(ring, acc, cr.cscale(ring, s, e))
+    return acc
+
+
+def _coeff_mle_eval(ring: Ring, table: List[list], point: List[int]) -> list:
+    """MLE eval of a short coeff-list table at a scalar point (host)."""
+    q = ring.q
+    n = 1 << len(point)
+    vals = table + [cr.czero(ring)] * (n - len(table))
+    for r in point:
+        nxt = []
+        for i in range(0, len(vals), 2):
+            a, b = vals[i], vals[i + 1]
+            diff = cr.csub(ring, b, a)
+            nxt.append(cr.cadd(ring, a, cr.cscale(ring, r, diff)))
+        vals = nxt
+    return vals[0]

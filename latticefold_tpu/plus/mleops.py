@@ -1,0 +1,64 @@
+"""Scalar-point MLE operations for LatticeFold+.
+
+LF+ sumcheck points are base-field scalars (plus/sumcheck.py), so eq tables
+and MLE evaluations are F_q-weighted: eq weights [2^s, nl], applied to scalar
+tables [N, nl] or NTT-form ring tables [N, ncomp, e, nl] by plain Montgomery
+scaling (no extension arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..rings.construct import Ring
+
+
+def scalar_dev(ring: Ring, v: int) -> jnp.ndarray:
+    """F_q int -> Montgomery limbs [nl]."""
+    R = 1 << (32 * ring.nl)
+    return jnp.asarray(ring.fq.encode(np.array(v * R % ring.q, dtype=object)))
+
+
+def scalars_dev(ring: Ring, vs: Sequence[int]) -> jnp.ndarray:
+    R = 1 << (32 * ring.nl)
+    arr = np.array([v * R % ring.q for v in vs], dtype=object)
+    return jnp.asarray(ring.fq.encode(arr))
+
+
+def scalar_host(ring: Ring, dev) -> int:
+    return int(ring.fq.decode(np.asarray(mo.from_mont(ring.fq, dev))))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def build_eq_scalar(ring: Ring, rs):
+    """tensor(r): [nvars, nl] -> [2^nvars, nl] (index bit i <-> r_i)."""
+    m = ring.fq
+    one = jnp.asarray(np.broadcast_to(m.r1_limbs, (1, m.nl)), dtype=jnp.uint32)
+    buf = one
+    for i in range(rs.shape[0] - 1, -1, -1):
+        t = mo.mont_mul(m, buf, rs[i][None])
+        buf = jnp.stack([mo.sub(m, buf, t), t], axis=1).reshape(-1, m.nl)
+    return buf
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def eval_scalar_mles(ring: Ring, mles, eq):
+    """Scalar MLEs [nm, N, nl] x eq [N, nl] -> [nm, nl]."""
+    m = ring.fq
+    prod = mo.mont_mul(m, mles, eq[None])
+    return mo.sum_mod(m, prod, 1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def eval_ring_mles_scalar(ring: Ring, mles, eq):
+    """Ring MLEs [nm, N, ncomp, e, nl] x scalar eq [N, nl] -> [nm, ncomp, e, nl]."""
+    m = ring.fq
+    w = eq[None, :, None, None, :]
+    prod = mo.mont_mul(m, mles, jnp.broadcast_to(w, mles.shape))
+    return mo.sum_mod(m, prod, 1)

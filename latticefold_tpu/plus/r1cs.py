@@ -1,0 +1,190 @@
+"""Committed R1CS frontend for LatticeFold+.
+
+Port of /root/reference/crates/latticefold-plus/src/r1cs.rs: ``ComR1CS.new``
+gadget-decomposes z into f (n = m*k), commits cm_f = A f (r1cs.rs:48-59);
+``linearize`` runs a degree-3 sumcheck of eq(r,x)(ga gb - gc) over the
+mle[Az/Bz/Cz] tables (r1cs.rs:71-131) and emits the f/ga/gb/gc openings; the
+verifier recomputes e (va vb - vc) = s (r1cs.rs:135-161).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..arith.sparse import SparseMatrix
+from ..commitment import AjtaiScheme
+from ..rings import ops as rops
+from ..rings.construct import Ring
+from . import coeffring as cr
+from . import mleops
+from . import sumcheck as psc
+from .mlin import LinB, LinBX
+from .transcript import PlusTranscript
+
+
+def gadget_decompose_vec(ring: Ring, z: jnp.ndarray, b: int, k: int) -> jnp.ndarray:
+    """[m, ncomp, e, nl] -> [m*k, ...]: element i digit j at row i*k + j
+    (stark-rings GadgetDecompose flattening order)."""
+    coeff = mo.from_mont(ring.fq, rops.icrt(ring, z))
+    digs = mo.signed_digits(ring.fq, coeff, b, k)  # [m, d, k]
+    fc = mo.digits_to_field(ring.fq, digs)  # [m, d, k, nl]
+    fc = jnp.moveaxis(fc, 2, 1).reshape(z.shape[0] * k, ring.d, ring.nl)
+    return rops.crt(ring, mo.to_mont(ring.fq, fc))
+
+
+def gadget_decompose_matrix(m: SparseMatrix, b: int, k: int) -> SparseMatrix:
+    """Column-wise gadget decomposition of a scalar sparse matrix
+    (stark-rings SparseMatrix::gadget_decompose as used in
+    r1cs.rs:172-185): M'[i, j*k + t] = M[i, j] * b^t."""
+    ring = m.ring
+    q = ring.q
+    rows = []
+    for row in m.rows:
+        nr = []
+        for c, j in row:
+            for t in range(k):
+                nr.append((c * pow(b, t, q) % q, j * k + t))
+        rows.append(nr)
+    return SparseMatrix(ring, m.nrows, m.ncols * k, rows)
+
+
+def r1cs_decomposed_square(ring: Ring, A, B, C, n: int, b: int, k: int):
+    """r1cs.rs:172-185: decompose A,B,C columns and pad rows to n."""
+    out = []
+    for M in (A, B, C):
+        Md = gadget_decompose_matrix(M, b, k)
+        Md.pad_rows(n)
+        out.append(Md)
+    return tuple(out)
+
+
+@dataclass
+class ComR1CSX:
+    """r1cs.rs:28-35."""
+
+    matrices: List[SparseMatrix]  # [A, B, C]
+    z: jnp.ndarray
+    cm_f: List[list]
+    l_in: int
+
+
+@dataclass
+class ComR1CS:
+    x: ComR1CSX
+    f: jnp.ndarray  # [n, ncomp, e, nl]
+
+    @classmethod
+    def new(
+        cls,
+        ring: Ring,
+        matrices: Sequence[SparseMatrix],
+        z: jnp.ndarray,
+        l_in: int,
+        b: int,
+        k: int,
+        scheme: AjtaiScheme,
+    ) -> "ComR1CS":
+        f = gadget_decompose_vec(ring, z, b, k)
+        cm_dev = scheme.commit_device(f)
+        cm_host = rops.to_host(ring, cm_dev)
+        cm_f = [ring.icrt_host(tuple(c)) for c in cm_host]
+        return cls(
+            x=ComR1CSX(matrices=list(matrices), z=z, cm_f=cm_f, l_in=l_in), f=f
+        )
+
+
+@dataclass
+class ComR1CSProof:
+    """r1cs.rs:37-46."""
+
+    sumcheck: psc.SumcheckProof
+    nvars: int
+    r: List[int]
+    v: list
+    va: list
+    vb: list
+    vc: list
+
+
+@functools.lru_cache(maxsize=None)
+def _r1cs_comb(ring: Ring):
+    def fn(vals, consts):
+        prod = rops.ext_mul(ring, vals[1], vals[2])
+        diff = mo.sub(ring.fq, prod, vals[3])
+        return rops.ext_mul(ring, vals[0], diff)
+
+    return psc.CombFn(ring, fn, key="comr1cs", scalar=False)
+
+
+def linearize(
+    c: ComR1CS, transcript: PlusTranscript
+) -> Tuple[LinB, ComR1CSProof]:
+    """r1cs.rs:74-133."""
+    ring = c.x.matrices[0].ring
+    n = c.f.shape[0]
+    nvars = (n - 1).bit_length()
+    A, B, C = c.x.matrices
+
+    ga = A.mat_vec(c.f)
+    gb = B.mat_vec(c.f)
+    gc = C.mat_vec(c.f)
+
+    r = transcript.get_challenges(nvars)
+    eq_tab = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, r))
+    from .cm import _scalar_to_ring_table
+
+    eq_ring = _scalar_to_ring_table(ring, eq_tab)
+    mles = jnp.stack([eq_ring, ga, gb, gc])
+
+    proof_sc, ro, _ = psc.prove(
+        ring, transcript, mles, nvars, 3, _r1cs_comb(ring)
+    )
+
+    eq_ro = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, ro))
+    stack = jnp.stack([c.f, ga, gb, gc])
+    opened = rops.to_host(ring, mleops.eval_ring_mles_scalar(ring, stack, eq_ro))
+    v, va, vb, vc = [ring.icrt_host(tuple(o)) for o in opened]
+
+    for e in (v, va, vb, vc):
+        transcript.absorb_coeffs(e)
+
+    proof = ComR1CSProof(
+        sumcheck=proof_sc, nvars=nvars, r=ro, v=v, va=va, vb=vb, vc=vc
+    )
+    linb = LinB(
+        f=c.f,
+        x=LinBX(
+            cm_f=list(c.x.cm_f),
+            r=[(x, x) for x in ro],
+            v=[(v, v), (va, va), (vb, vb), (vc, vc)],
+        ),
+    )
+    return linb, proof
+
+
+class R1CSLinError(Exception):
+    pass
+
+
+def verify_linearization(
+    ring: Ring, proof: ComR1CSProof, transcript: PlusTranscript
+):
+    """r1cs.rs:136-163."""
+    r = transcript.get_challenges(proof.nvars)
+    ro, s = psc.verify(
+        ring, transcript, proof.nvars, 3, cr.czero(ring), proof.sumcheck
+    )
+    for e in (proof.v, proof.va, proof.vb, proof.vc):
+        transcript.absorb_coeffs(e)
+    e = psc.eq_eval_scalar(ring, r, ro)
+    lhs = cr.cscale(
+        ring, e, cr.csub(ring, cr.cmul(ring, proof.va, proof.vb), proof.vc)
+    )
+    if lhs != list(s):
+        raise R1CSLinError("linearization claim check failed")

@@ -1,0 +1,318 @@
+"""Range check via double commitments (LatticeFold+ Constructions 4.3-4.4).
+
+Port of /root/reference/crates/latticefold-plus/src/rgchk.rs semantics:
+``RgInstance.from_f`` (rgchk.rs:260-332) decomposes cf(f) into k balanced
+base-b digit matrices D_f, maps digits to monomials (EXP), commits the
+monomial matrices column-wise (comM_f = A * M_f — a batched MXU ring matmul
+here), gadget-splits the concatenated commitment into tau (utils.rs:12-41),
+sets m_tau = EXP(tau), and commits cm_f / C_Mf / cm_mtau. ``range_check``
+(rgchk.rs:81-186) runs the monomial set check over {M_f..., m_tau...} and
+opens the tau/m_tau/f MLEs (plus their M_i-multiplied variants) at the set
+check's point; the verifier (rgchk.rs:193-241) checks the psi-based
+constant-term identities ct(psi*b) = a and ct(psi * sum d'^i u_i) = v.
+
+Device layout: digits/monomials live as int32 EXP-index arrays; commits ride
+the byte-plane MXU kernel (rings/mxu.py); MLE openings are scalar-weighted
+contractions (plus/mleops.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..arith.sparse import SparseMatrix
+from ..commitment import AjtaiScheme
+from ..rings import ops as rops
+from ..rings.construct import Ring
+from . import coeffring as cr
+from . import mleops
+from .setchk import MatrixSet, SetCheckOut, VectorSet, set_check
+from .setchk import verify as setchk_verify
+from .transcript import PlusTranscript
+
+
+@dataclass(frozen=True)
+class DecompParameters:
+    """b: digit base (= d' = d/2 in all shipped configs); k: digit count;
+    l: log_{d'}(q) (rgchk.rs:20-24)."""
+
+    b: int
+    k: int
+    l: int
+
+
+@dataclass
+class FComs:
+    """cm_f, C_Mf, cm_mtau: kappa coefficient-form ring elements each
+    (rgchk.rs:27-31)."""
+
+    cm_f: List[list]
+    C_Mf: List[list]
+    cm_mtau: List[list]
+
+
+@dataclass
+class RgInstance:
+    ring: Ring
+    f_ntt: jnp.ndarray  # [n, ncomp, e, nl]
+    f_coeff_mont: jnp.ndarray  # [n, d, nl] Montgomery
+    D_idx: np.ndarray  # [k, n, d] int32 EXP indices of the digit matrices
+    tau: np.ndarray  # [n] object ints (signed digits mod q)
+    m_tau_idx: np.ndarray  # [n] int32
+    comM_f: List[List[List[list]]]  # [k][kappa][d] coeff lists
+    fcoms: FComs
+
+    @classmethod
+    def from_f(
+        cls, ring: Ring, f_ntt, scheme: AjtaiScheme, dparams: DecompParameters
+    ) -> "RgInstance":
+        cr.require_power2(ring)
+        n, d, q = f_ntt.shape[0], ring.d, ring.q
+        k, l, b = dparams.k, dparams.l, dparams.b
+
+        f_coeff = mo.from_mont(ring.fq, rops.icrt(ring, f_ntt))  # [n, d, nl]
+        digs = np.asarray(mo.signed_digits(ring.fq, f_coeff, b, k))  # [n, d, k]
+        D_idx = np.moveaxis(digs % d, 2, 0).astype(np.int32)  # [k, n, d]
+
+        # one batched commit: columns = [k*d monomial cols | f | tau | m_tau]
+        mono = jnp.asarray(cr.monomial_table_np(ring))  # [d, c, e, nl]
+        Mf_cols = mono[D_idx.reshape(k, n, d).transpose(1, 0, 2).reshape(n, k * d)]
+        # [n, k*d, c, e, nl]
+        comMf_dev = scheme.commit_batch(Mf_cols)  # [kappa, k*d, c, e, nl]
+        comMf_host = rops.to_host(ring, comMf_dev)  # [kappa, k*d] ring elts
+        kappa = scheme.kappa
+        # comM_f[kk][i][j]: commitment row i, monomial-matrix kk, column j
+        comM_f = [
+            [
+                [ring.icrt_host(comMf_host[i, kk * d + j]) for j in range(d)]
+                for i in range(kappa)
+            ]
+            for kk in range(k)
+        ]
+
+        # split (utils.rs:12-41): gadget-decompose the hconcat'ed commitment
+        # row-major (row, then col, then digit, then coeff), pad to n
+        tau_list: List[int] = []
+        for i in range(kappa):
+            for kk in range(k):
+                for j in range(d):
+                    entry = comM_f[kk][i][j]
+                    digs_e = [
+                        _host_balanced_digits(q, c, b, l) for c in entry
+                    ]  # [d][l]
+                    for t in range(l):
+                        for c in range(d):
+                            tau_list.append(digs_e[c][t])
+        if len(tau_list) > n:
+            raise ValueError(f"split: tau length {len(tau_list)} > n {n}")
+        tau_signed = tau_list + [0] * (n - len(tau_list))
+        tau = np.array([v % q for v in tau_signed], dtype=object)
+        m_tau_idx = np.array([v % d for v in tau_signed], dtype=np.int32)
+
+        tau_ring = _const_ring_batch(ring, tau)  # [n, c, e, nl]
+        mtau_cols = mono[jnp.asarray(m_tau_idx)]  # [n, c, e, nl]
+        rest = jnp.stack([f_ntt, tau_ring, mtau_cols], axis=1)  # [n, 3, ...]
+        coms = scheme.commit_batch(rest)  # [kappa, 3, ...]
+        coms_host = rops.to_host(ring, coms)
+        fcoms = FComs(
+            cm_f=[ring.icrt_host(coms_host[i, 0]) for i in range(kappa)],
+            C_Mf=[ring.icrt_host(coms_host[i, 1]) for i in range(kappa)],
+            cm_mtau=[ring.icrt_host(coms_host[i, 2]) for i in range(kappa)],
+        )
+
+        return cls(
+            ring=ring,
+            f_ntt=f_ntt,
+            f_coeff_mont=mo.to_mont(ring.fq, f_coeff),
+            D_idx=D_idx,
+            tau=tau,
+            m_tau_idx=m_tau_idx,
+            comM_f=comM_f,
+            fcoms=fcoms,
+        )
+
+    def sets(self) -> List:
+        """Monomial sets {M_f..., m_tau} (rgchk.rs:246-252)."""
+        k = self.D_idx.shape[0]
+        return [MatrixSet(idx=self.D_idx[kk]) for kk in range(k)] + [
+            VectorSet(idx=self.m_tau_idx)
+        ]
+
+
+def _host_balanced_digits(q: int, x: int, base: int, nd: int) -> List[int]:
+    s = int(x) if int(x) <= q // 2 else int(x) - q
+    neg, mag = s < 0, abs(s)
+    out = []
+    for _ in range(nd):
+        r = mag % base
+        quo = mag // base
+        if 2 * r > base:
+            r -= base
+            quo += 1
+        out.append(-r if neg else r)
+        mag = quo
+    assert mag == 0, "split: value does not fit l digits"
+    return out
+
+
+def _const_ring_batch(ring: Ring, vals: np.ndarray) -> jnp.ndarray:
+    """F_q values [n] -> diagonal (constant) NTT ring elements [n, c, e, nl]."""
+    n = vals.shape[0]
+    R = 1 << (32 * ring.nl)
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(vals)
+    limbs = ring.fq.encode(mont)  # [n, nl]
+    out = np.zeros((n, ring.ncomp, ring.e, ring.nl), dtype=np.uint32)
+    out[:, :, 0, :] = np.asarray(limbs)[:, None, :]
+    return jnp.asarray(out)
+
+
+@dataclass
+class DcomEvals:
+    """v, a: F_q scalars; b, c: coefficient-form ring elements (rgchk.rs:58-64)."""
+
+    v: List[int]
+    a: List[int]
+    b: List[list]
+    c: List[list]
+
+
+@dataclass
+class Dcom:
+    evals: List[DcomEvals]
+    fcoms: List[FComs]
+    out: SetCheckOut
+    dparams: DecompParameters
+
+
+class RangeCheckError(Exception):
+    pass
+
+
+@dataclass
+class Rg:
+    nvars: int
+    instances: List[RgInstance]
+    dparams: DecompParameters
+
+    def range_check(
+        self, M: Sequence[SparseMatrix], transcript: PlusTranscript
+    ) -> Dcom:
+        """rgchk.rs:81-186."""
+        ring = self.instances[0].ring
+        q = ring.q
+        sets = []
+        for inst in self.instances:
+            sets.extend(
+                MatrixSet(idx=inst.D_idx[kk]) for kk in range(self.dparams.k)
+            )
+        for inst in self.instances:
+            sets.append(VectorSet(idx=inst.m_tau_idx))
+
+        out = set_check(ring, self.nvars, sets, M, transcript)
+
+        eq_r = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, out.r))
+        w_host = [int(v) for v in ring.fq.decode(
+            np.asarray(mo.from_mont(ring.fq, eq_r))
+        )]
+
+        evals = []
+        for li, inst in enumerate(self.instances):
+            n = inst.f_ntt.shape[0]
+            # v: per-coefficient MLE evals of cf(f) at r
+            fc_t = jnp.moveaxis(inst.f_coeff_mont, 1, 0)  # [d, n, nl]
+            v_dev = mleops.eval_scalar_mles(ring, fc_t, eq_r)
+            v = [int(x) for x in ring.fq.decode(
+                np.asarray(mo.from_mont(ring.fq, v_dev))
+            )]
+
+            a: List[int] = []
+            b: List[list] = []
+            c: List[list] = []
+
+            # plain (no M) entries
+            a.append(_dot_scalar(q, w_host[:n], inst.tau))
+            b.append(out.b[li])
+            f_eval = mleops.eval_ring_mles_scalar(ring, inst.f_ntt[None], eq_r)[0]
+            c.append(ring.icrt_host(tuple(rops.to_host(ring, f_eval))))
+
+            for Mi in M:
+                u = Mi.transpose_mul_scalar_host(ring, w_host[: Mi.nrows])[:n]
+                # a: ct(eval of M_i * tau) — tau is scalar -> ct == value
+                a.append(_dot_scalar(q, u, inst.tau))
+                # b: eval of M_i * m_tau (ring), via exponent buckets (device)
+                from .setchk import _bucket_dev
+
+                u_dev_w = mleops.scalars_dev(ring, [x % q for x in u])
+                b.append([int(x) for x in _bucket_dev(ring, inst.m_tau_idx, u_dev_w)])
+                # c: eval of M_i * f (ring)
+                u_dev = mleops.scalars_dev(ring, [x % q for x in u])
+                cf = mleops.eval_ring_mles_scalar(ring, inst.f_ntt[None], u_dev)[0]
+                c.append(ring.icrt_host(tuple(rops.to_host(ring, cf))))
+
+            evals.append(DcomEvals(v=v, a=a, b=b, c=c))
+
+        _absorb_evaluations(ring, evals, transcript)
+
+        return Dcom(
+            evals=evals,
+            fcoms=[inst.fcoms for inst in self.instances],
+            out=out,
+            dparams=self.dparams,
+        )
+
+
+def _dot_scalar(q: int, w: List[int], vals: np.ndarray) -> int:
+    acc = 0
+    for wi, vi in zip(w, vals):
+        if wi:
+            acc = (acc + wi * int(vi)) % q
+    return acc
+
+
+def _absorb_evaluations(ring: Ring, evals: List[DcomEvals], transcript: PlusTranscript):
+    """rgchk.rs:335-340: absorb a (as constants) then c, per instance."""
+    for ev in evals:
+        for ai in ev.a:
+            transcript.absorb_coeffs(cr.cconst(ring, ai))
+        for ci in ev.c:
+            transcript.absorb_coeffs(ci)
+
+
+def dcom_verify(ring: Ring, dcom: Dcom, transcript: PlusTranscript):
+    """rgchk.rs:193-241."""
+    setchk_verify(ring, dcom.out, transcript)
+    _absorb_evaluations(ring, dcom.evals, transcript)
+
+    q, d = ring.q, ring.d
+    dp = d // 2
+    psi = list(cr.psi_coeffs(ring))
+    k = dcom.dparams.k
+
+    for li, ev in enumerate(dcom.evals):
+        # ct(psi * b) == a
+        for a_i, b_i in zip(ev.a, ev.b):
+            if cr.ct(cr.cmul(ring, psi, b_i)) != a_i % q:
+                raise RangeCheckError(f"psi check a/b failed (instance {li})")
+
+        for ni in range(len(dcom.out.e)):
+            u_sets = dcom.out.e[ni][k * li : k * li + k]
+            u_comb = [cr.czero(ring) for _ in range(d)]
+            dpow = 1
+            for u_i in u_sets:
+                for j in range(d):
+                    u_comb[j] = cr.cadd(ring, u_comb[j], cr.cscale(ring, dpow, u_i[j]))
+                dpow = dpow * dp % q
+            v_rec = [cr.ct(cr.cmul(ring, psi, uc)) for uc in u_comb]
+            if ni == 0:
+                if v_rec != [x % q for x in ev.v]:
+                    raise RangeCheckError(f"psi check v/u failed (instance {li})")
+            else:
+                if v_rec != [x % q for x in ev.c[ni]]:
+                    raise RangeCheckError(
+                        f"psi check c/u failed (instance {li}, matrix {ni - 1})"
+                    )

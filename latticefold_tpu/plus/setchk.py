@@ -1,0 +1,348 @@
+"""Monomial set check (LatticeFold+ Construction 4.2).
+
+Port of /root/reference/crates/latticefold-plus/src/setchk.rs semantics:
+prove that matrices / vectors consist of unit monomials X^m via the
+"ev(beta)^2 == ev(beta^2) iff monomial" projection trick (setchk.rs:104-116,
+verifier 300-334).
+
+TPU-native representation: a matrix set's entries are monomial *exponent*
+arrays [n, ncols] int32 (EXP index in [0, d); -1 encodes a zero entry, since
+the reference's SparseMatrix leaves absent cells at R::zero). The ev-projected
+MLEs are then pure F_q scalar tables built by powers-table gather; the whole
+degree-3 sumcheck runs in the base field (d-times cheaper than a ring
+sumcheck). Dishonest/dense sets (negative tests) may supply coefficient-form
+entries instead; those are ev'd host-side.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..arith.sparse import SparseMatrix
+from ..rings.construct import Ring
+from . import coeffring as cr
+from . import mleops
+from . import sumcheck as psc
+from .transcript import PlusTranscript
+
+
+@dataclass
+class MatrixSet:
+    """Monomial matrix: exponent indices [n, ncols] (int32; -1 = zero entry),
+    or coefficient-form entries [n, ncols, d] (host ints) for generic data."""
+
+    idx: Optional[np.ndarray] = None
+    coeffs: Optional[np.ndarray] = None
+
+    @property
+    def shape(self):
+        src = self.idx if self.idx is not None else self.coeffs[..., 0]
+        return src.shape
+
+
+@dataclass
+class VectorSet:
+    idx: Optional[np.ndarray] = None  # [n]
+    coeffs: Optional[np.ndarray] = None  # [n, d] host ints
+
+
+def _pw_dev(ring: Ring, beta: int) -> jnp.ndarray:
+    """[d, nl] Montgomery powers beta^0..beta^(d-1)."""
+    q = ring.q
+    return mleops.scalars_dev(ring, [pow(beta, i, q) for i in range(ring.d)])
+
+
+def _ev_project_dev(ring: Ring, s, beta: int, n: int) -> jnp.ndarray:
+    """Entries -> [rows(s) padded to n, cols?] F_q evals at beta (Montgomery).
+
+    Monomial-index sets ride a device powers-table gather; coefficient-form
+    sets (dishonest-test data) are evaluated host-side.
+    """
+    q = ring.q
+    if s.idx is not None:
+        pw = _pw_dev(ring, beta)
+        idx = jnp.asarray(np.maximum(s.idx, 0))
+        vals = pw[idx]  # [..., nl]
+        vals = jnp.where(jnp.asarray(s.idx < 0)[..., None], jnp.uint32(0), vals)
+    else:
+        pw_h = [pow(beta, i, q) for i in range(ring.d)]
+        acc = np.zeros(s.coeffs.shape[:-1], dtype=object)
+        for i in range(ring.d):
+            acc = (acc + s.coeffs[..., i] * pw_h[i]) % q
+        R = 1 << (32 * ring.nl)
+        mont = np.vectorize(lambda v: int(v) * R % q, otypes=[object])(acc)
+        vals = jnp.asarray(ring.fq.encode(mont))
+    n0 = vals.shape[0]
+    if n0 < n:
+        pad = [(0, n - n0)] + [(0, 0)] * (vals.ndim - 1)
+        vals = jnp.pad(vals, pad)
+    return vals
+
+
+@dataclass
+class SetCheckOut:
+    """Out<R> (setchk.rs:30-36)."""
+
+    nvars: int
+    r: List[int]  # sumcheck point (F_q scalars)
+    sumcheck_proof: psc.SumcheckProof
+    e: List[List[List[list]]]  # [1+len(M)][nset_mat][ncols] coeff lists
+    b: List[list]  # [nset_vec] coeff lists
+
+
+class SetCheckError(Exception):
+    pass
+
+
+@functools.lru_cache(maxsize=None)
+def _setchk_comb(ring: Ring, n_mat: int, ncols: int, n_vec: int, batched: bool):
+    """comb_fn (setchk.rs:155-186): per matrix set i with MLE block
+    [m_0, m'_0, .., m_{ncols-1}, m'_{ncols-1}, eq], res_i = eq * sum_j
+    alpha_i^j (m_j^2 - m'_j); vector sets contribute eq * alpha * (m^2 - m').
+    lc = sum_i rc^i res_i; without rc (single matrix set) only set 0 counts
+    (the reference's early return, setchk.rs:166-183)."""
+    m = ring.fq
+
+    def fn(vals, consts):
+        alpha_pows, rc_pows = consts  # [nsets, ncols, nl], [nsets, nl]
+        lc = None
+        for i in range(n_mat):
+            s = i * (2 * ncols + 1)
+            res = None
+            for j in range(ncols):
+                diff = mo.sub(
+                    m, mo.mont_mul(m, vals[s + 2 * j], vals[s + 2 * j]), vals[s + 2 * j + 1]
+                )
+                term = mo.mont_mul(m, diff, alpha_pows[i, j])
+                res = term if res is None else mo.add(m, res, term)
+            res = mo.mont_mul(m, res, vals[s + 2 * ncols])
+            if not batched:
+                return res
+            term = mo.mont_mul(m, res, rc_pows[i])
+            lc = term if lc is None else mo.add(m, lc, term)
+        for i in range(n_vec):
+            s = n_mat * (2 * ncols + 1) + i * 3
+            diff = mo.sub(m, mo.mont_mul(m, vals[s], vals[s]), vals[s + 1])
+            res = mo.mont_mul(m, diff, alpha_pows[n_mat + i, 0])
+            res = mo.mont_mul(m, res, vals[s + 2])
+            if not batched:
+                return res
+            term = mo.mont_mul(m, res, rc_pows[n_mat + i])
+            lc = term if lc is None else mo.add(m, lc, term)
+        return lc
+
+    return psc.CombFn(
+        ring, fn, key=f"setchk:{n_mat}:{ncols}:{n_vec}:{batched}", scalar=True
+    )
+
+
+def set_check(
+    ring: Ring,
+    nvars: int,
+    sets: Sequence[Union[MatrixSet, VectorSet]],
+    M: Sequence[SparseMatrix],
+    transcript: PlusTranscript,
+) -> SetCheckOut:
+    """Prover (setchk.rs:65-262). ``M`` are the linearization matrices whose
+    M_i-multiplied column openings are also emitted (e[1+i])."""
+    mats = [s for s in sets if isinstance(s, MatrixSet)]
+    vecs = [s for s in sets if isinstance(s, VectorSet)]
+    n = 1 << nvars
+    ncols = mats[0].shape[1]
+    fq = ring.fq
+
+    mle_list = []
+    alphas: List[int] = []
+    for s in mats:
+        c = transcript.get_challenges(nvars)
+        beta = transcript.get_challenge()
+        mj = _ev_project_dev(ring, s, beta, n)  # [n, ncols, nl]
+        mprime = mo.mont_mul(fq, mj, mj)
+        # interleave [m_0, m'_0, m_1, m'_1, ...] on the column axis
+        pair = jnp.stack([mj, mprime], axis=2)  # [n, ncols, 2, nl]
+        tab = jnp.transpose(pair, (1, 2, 0, 3)).reshape(2 * ncols, n, ring.nl)
+        mle_list.append(tab)
+        eq = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, c))
+        mle_list.append(eq[None])
+        alphas.append(transcript.get_challenge())
+    for s in vecs:
+        c = transcript.get_challenges(nvars)
+        beta = transcript.get_challenge()
+        mj = _ev_project_dev(ring, s, beta, n)  # [n, nl]
+        mprime = mo.mont_mul(fq, mj, mj)
+        mle_list.append(jnp.stack([mj, mprime]))
+        eq = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, c))
+        mle_list.append(eq[None])
+        alphas.append(transcript.get_challenge())
+
+    batched = len(mats) > 1
+    rc = transcript.get_challenge() if batched else None
+
+    mles = jnp.concatenate(mle_list, axis=0)
+
+    nsets = len(mats) + len(vecs)
+    q = ring.q
+    alpha_pows = np.ones((nsets, ncols), dtype=object)
+    for i, a in enumerate(alphas):
+        for j in range(1, ncols):
+            alpha_pows[i, j] = alpha_pows[i, j - 1] * a % q
+        if i >= len(mats):  # vector sets use alpha itself (power 1)
+            alpha_pows[i, 0] = a
+    rc_pows = np.ones((nsets,), dtype=object)
+    if rc is not None:
+        for i in range(1, nsets):
+            rc_pows[i] = rc_pows[i - 1] * rc % q
+    consts = (
+        jnp.asarray(np.stack([np.asarray(mleops.scalars_dev(ring, alpha_pows[i])) for i in range(nsets)])),
+        jnp.asarray(np.asarray(mleops.scalars_dev(ring, rc_pows))),
+    )
+
+    comb = _setchk_comb(ring, len(mats), ncols, len(vecs), batched)
+    proof, r, _finals = psc.prove(ring, transcript, mles, nvars, 3, comb, consts)
+
+    # Step 3: MLE openings of the ring-valued columns at r (e) and vectors (b)
+    eq_r = mleops.build_eq_scalar(ring, mleops.scalars_dev(ring, r))
+    e: List[List[List[list]]] = [_open_columns(ring, mats, eq_r, None)]
+    for Mi in M:
+        e.append(_open_columns(ring, mats, eq_r, Mi))
+    b = [_open_vector(ring, v, eq_r) for v in vecs]
+
+    _absorb_evaluations(transcript, e, b)
+
+    return SetCheckOut(nvars=nvars, r=r, sumcheck_proof=proof, e=e, b=b)
+
+
+def _bucket_dev(ring: Ring, idx_np: np.ndarray, w_dev) -> np.ndarray:
+    """Device bucket sums: out[..., m] = sum_{x: idx[x, ...]=m} w[x].
+
+    idx_np: [n0] or [n0, ncols] int32 (-1 skipped); w_dev: [>=n0, nl] mont.
+    Returns object-int array [(ncols,) d] of canonical F_q values.
+    """
+    n0 = idx_np.shape[0]
+    idx = jnp.asarray(idx_np)
+    w = w_dev[:n0]
+    if idx.ndim == 2:
+        w = w[:, None, :]
+    parts = []
+    for m in range(ring.d):
+        mask = (idx == m)[..., None]
+        parts.append(mo.sum_mod(ring.fq, jnp.where(mask, w, jnp.uint32(0)), 0))
+    stacked = jnp.stack(parts, axis=-2)  # [(ncols,) d, nl]
+    return ring.fq.decode(np.asarray(mo.from_mont(ring.fq, stacked)))
+
+
+def _weights_host(ring: Ring, eq_r, n0: int) -> list:
+    w = mo.from_mont(ring.fq, eq_r)
+    return [int(v) for v in ring.fq.decode(np.asarray(w))[:n0]]
+
+
+def _bucket_coeffs_host(ring: Ring, coeffs: np.ndarray, w: List[int]) -> np.ndarray:
+    """Host fallback for coefficient-form (dishonest-test) sets."""
+    q = ring.q
+    out = np.zeros(coeffs.shape[1:-1] + (ring.d,), dtype=object)
+    for x in range(coeffs.shape[0]):
+        if w[x]:
+            out = (out + coeffs[x] * w[x]) % q
+    return out
+
+
+def _open_columns(ring: Ring, mats, eq_r, Mi: Optional[SparseMatrix]):
+    """e_i[set][col] = MLE eval at r of (M_i *) the ring-valued column
+    (setchk.rs:199-242), via the transpose trick: eval = sum_y (M_i^T w)[y] *
+    entry[y] with base-field weights w = tensor(r)."""
+    if Mi is None:
+        w_dev = eq_r
+        w_host = None
+    else:
+        w_full = _weights_host(ring, eq_r, Mi.nrows)
+        w_host = Mi.transpose_mul_scalar_host(ring, w_full)
+        w_dev = mleops.scalars_dev(ring, w_host)
+    out = []
+    for s in mats:
+        n0, nc = s.shape
+        if s.idx is not None:
+            buckets = _bucket_dev(ring, s.idx, w_dev)
+        else:
+            w = w_host if w_host is not None else _weights_host(ring, eq_r, n0)
+            buckets = _bucket_coeffs_host(ring, s.coeffs, w)
+        out.append([[int(v) for v in buckets[j]] for j in range(nc)])
+    return out
+
+
+def _open_vector(ring: Ring, v: VectorSet, eq_r) -> list:
+    if v.idx is not None:
+        return [int(x) for x in _bucket_dev(ring, v.idx, eq_r)]
+    n0 = v.coeffs.shape[0]
+    w = _weights_host(ring, eq_r, n0)
+    return [int(x) for x in _bucket_coeffs_host(ring, v.coeffs, w)]
+
+
+def _absorb_evaluations(transcript: PlusTranscript, e, b):
+    """setchk.rs:344-355."""
+    for ek in e:
+        for eset in ek:
+            for ej in eset:
+                transcript.absorb_coeffs(ej)
+    for bv in b:
+        transcript.absorb_coeffs(bv)
+
+
+def verify(
+    ring: Ring, out: SetCheckOut, transcript: PlusTranscript
+) -> List[int]:
+    """Verifier (setchk.rs:266-341). Returns the sumcheck point r."""
+    n_mat = len(out.e[0])
+    n_vec = len(out.b)
+    nclaims = n_mat + n_vec
+    q = ring.q
+
+    cba = []
+    for _ in range(nclaims):
+        c = transcript.get_challenges(out.nvars)
+        beta = transcript.get_challenge()
+        alpha = transcript.get_challenge()
+        cba.append((c, beta, alpha))
+
+    rc = transcript.get_challenge() if n_mat > 1 else None
+
+    r, expected = psc.verify(
+        ring, transcript, out.nvars, 3, cr.czero(ring), out.sumcheck_proof
+    )
+
+    _absorb_evaluations(transcript, out.e, out.b)
+
+    ver = cr.czero(ring)
+    for i, eset in enumerate(out.e[0]):
+        c, beta, alpha = cba[i]
+        eq = psc.eq_eval_scalar(ring, c, r)
+        esum = cr.czero(ring)
+        apow = 1
+        for ej in eset:
+            ev1 = cr.ev(ring, ej, beta)
+            ev2 = cr.ev(ring, ej, beta * beta % q)
+            term = (ev1 * ev1 - ev2) % q
+            esum = cr.cadd(ring, esum, cr.cconst(ring, term * apow % q))
+            apow = apow * alpha % q
+        rcp = pow(rc, i, q) if rc is not None else 1
+        ver = cr.cadd(ring, ver, cr.cscale(ring, eq * rcp % q, esum))
+    for i, bv in enumerate(out.b):
+        c, beta, alpha = cba[n_mat + i]
+        eq = psc.eq_eval_scalar(ring, c, r)
+        ev1 = cr.ev(ring, bv, beta)
+        ev2 = cr.ev(ring, bv, beta * beta % q)
+        claim = (ev1 * ev1 - ev2) % q
+        rcp = pow(rc, n_mat + i, q) if rc is not None else 1
+        ver = cr.cadd(
+            ring, ver, cr.cconst(ring, eq * alpha % q * claim % q * rcp % q)
+        )
+
+    if ver != list(expected):
+        raise SetCheckError("recomputed claim mismatch")
+    return r

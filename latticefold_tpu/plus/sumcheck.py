@@ -1,0 +1,279 @@
+"""Sumcheck over the coefficient-form ring with base-field challenges.
+
+LatticeFold+ runs `MLSumcheck` over `RqPoly`, whose `BaseRing` is the prime
+field itself — challenges are single F_q scalars and the squeeze-reabsorb
+semantics follow latticefold's PoseidonTranscript
+(/root/reference/crates/latticefold/src/transcript/poseidon.rs:50-60 with
+extension_degree == 1). Two MLE table flavors share the engine:
+
+  - scalar MLEs ("constant" ring elements): [nm, N, nl] uint32 arrays — the
+    monomial set check's ev-projected tables (setchk.rs:104-116) never leave
+    the base field, so the whole sumcheck runs d-times cheaper than a ring
+    sumcheck;
+  - ring MLEs (NTT form): [nm, N, ncomp, e, nl] — the commitment
+    transformation's batched sumchecks (cm.rs:201-342).
+
+Round messages are ring elements; a scalar value v is absorbed as the
+constant polynomial [v, 0, ..., 0] (coefficient-form absorb). Folding by a
+scalar challenge is a plain Montgomery scale — no extension arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..rings import ops as rops
+from ..rings.construct import Ring
+from . import coeffring as cr
+from .transcript import PlusTranscript
+
+
+class CombFn:
+    """Hashable comb-fn wrapper (stable jit cache key), scalar or ring mode.
+
+    ``fn(vals, consts)``: vals [nm, M, ...value dims...] -> [M, ...].
+    """
+
+    def __init__(self, ring: Ring, fn: Callable, key: str, scalar: bool):
+        self.ring = ring
+        self.fn = fn
+        self.key = key
+        self.scalar = scalar
+
+    def __hash__(self):
+        return hash((id(self.ring), self.key, self.scalar))
+
+    def __eq__(self, other):
+        return isinstance(other, CombFn) and (
+            id(self.ring), self.key, self.scalar,
+        ) == (id(other.ring), other.key, other.scalar)
+
+
+_PAD_THRESHOLD = 1 << 12
+
+
+def _scale(ring: Ring, scalar: bool, arr, c):
+    """Multiply table by an F_q scalar c [nl] (broadcast over value dims)."""
+    if scalar:
+        return mo.mont_mul(ring.fq, arr, c)
+    return mo.mont_mul(ring.fq, arr, jnp.broadcast_to(c, arr.shape))
+
+
+def _fold(ring: Ring, scalar: bool, mles, c):
+    a0 = mles[:, 0::2]
+    a1 = mles[:, 1::2]
+    return mo.add(ring.fq, a0, _scale(ring, scalar, mo.sub(ring.fq, a1, a0), c))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_msg_full(comb: CombFn, degree: int):
+    ring = comb.ring
+
+    @jax.jit
+    def kernel(mles, consts):
+        a0 = mles[:, 0::2]
+        a1 = mles[:, 1::2]
+        evs = [
+            mo.sum_mod(ring.fq, comb.fn(a0, consts), 0),
+            mo.sum_mod(ring.fq, comb.fn(a1, consts), 0),
+        ]
+        if degree >= 2:
+            step = mo.sub(ring.fq, a1, a0)
+            cur = a1
+            for _ in range(2, degree + 1):
+                cur = mo.add(ring.fq, cur, step)
+                evs.append(mo.sum_mod(ring.fq, comb.fn(cur, consts), 0))
+        return jnp.stack(evs)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fold_jit(ring: Ring, scalar: bool, mles, c):
+    return _fold(ring, scalar, mles, c)
+
+
+@dataclass
+class SumcheckProof:
+    # nvars rounds x (degree+1) coefficient-form ring elements (lists of ints)
+    round_evals: List[List[list]]
+
+
+def _mask_pad(pad_size, size, value_ndim):
+    mask = np.zeros((pad_size // 2,) + (1,) * value_ndim, dtype=bool)
+    mask[: size // 2] = True
+    return jnp.asarray(mask)
+
+
+def scalar_to_ring_coeffs(ring: Ring, v: int) -> list:
+    return cr.cconst(ring, v)
+
+
+def prove(
+    ring: Ring,
+    transcript: PlusTranscript,
+    mles,
+    nvars: int,
+    degree: int,
+    comb: CombFn,
+    comb_consts=(),
+    to_coeffs=None,
+):
+    """Scalar-challenge sumcheck prover.
+
+    ``mles``: [nm, 2^nvars, ...]; scalar mode has value dims (nl,), ring mode
+    (ncomp, e, nl). ``to_coeffs`` converts one device round value to the
+    coefficient list to absorb (defaults by mode). Returns
+    (proof, challenges (ints), final_vals device [nm, ...]).
+    """
+    fq = ring.fq
+    scalar = comb.scalar
+    value_ndim = 1 if scalar else 3
+    assert mles.shape[1] == 1 << nvars
+    transcript.absorb_coeffs(cr.cconst(ring, nvars))
+    transcript.absorb_coeffs(cr.cconst(ring, degree))
+
+    if to_coeffs is None:
+        if scalar:
+            def to_coeffs(v):
+                return cr.cconst(ring, int(fq.decode(np.asarray(mo.from_mont(fq, v)))))
+        else:
+            def to_coeffs(v):
+                return ring.icrt_host(tuple(rops.to_host(ring, v)))
+
+    kernel_full = _round_msg_full(comb, degree)
+    pad_size = min(_PAD_THRESHOLD, 1 << nvars)
+    challenges: List[int] = []
+    round_evals = []
+    cur = mles
+    padded = False
+    for rnd in range(nvars):
+        size = 1 << (nvars - rnd)
+        if not padded and size <= pad_size:
+            if cur.shape[1] < pad_size:
+                pad = [(0, 0)] * cur.ndim
+                pad[1] = (0, pad_size - cur.shape[1])
+                cur = jnp.pad(cur, pad)
+            padded = True
+        if padded:
+            mask = _mask_pad(pad_size, size, value_ndim)
+            evs_dev = _masked_msg(comb, degree, cur, comb_consts, mask)
+        else:
+            evs_dev = kernel_full(cur, comb_consts)
+        evs_host = [to_coeffs(evs_dev[i]) for i in range(degree + 1)]
+        for e in evs_host:
+            transcript.absorb_coeffs(e)
+        round_evals.append(evs_host)
+        c = transcript.get_challenge()
+        challenges.append(c)
+        c_dev = _scalar_dev(ring, c)
+        if padded:
+            folded = _fold_jit(ring, scalar, cur, c_dev)
+            folded = jnp.where(mask[None], folded, jnp.uint32(0))
+            cur = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+        else:
+            cur = _fold_jit(ring, scalar, cur, c_dev)
+    final_vals = cur[:, 0]
+    return SumcheckProof(round_evals), challenges, final_vals
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_msg_kernel(comb: CombFn, degree: int):
+    ring = comb.ring
+
+    @jax.jit
+    def kernel(mles, consts, mask):
+        a0 = mles[:, 0::2]
+        a1 = mles[:, 1::2]
+
+        def msum(vals):
+            return mo.sum_mod(ring.fq, jnp.where(mask, vals, jnp.uint32(0)), 0)
+
+        evs = [msum(comb.fn(a0, consts)), msum(comb.fn(a1, consts))]
+        if degree >= 2:
+            step = mo.sub(ring.fq, a1, a0)
+            cur = a1
+            for _ in range(2, degree + 1):
+                cur = mo.add(ring.fq, cur, step)
+                evs.append(msum(comb.fn(cur, consts)))
+        return jnp.stack(evs)
+
+    return kernel
+
+
+def _masked_msg(comb, degree, cur, consts, mask):
+    return _masked_msg_kernel(comb, degree)(cur, consts, mask)
+
+
+def _scalar_dev(ring: Ring, v: int) -> jnp.ndarray:
+    """F_q int -> Montgomery limb vector [nl]."""
+    R = 1 << (32 * ring.nl)
+    return jnp.asarray(ring.fq.encode(np.array(v * R % ring.q, dtype=object)))
+
+
+class SumcheckError(Exception):
+    pass
+
+
+def _coeff_eval_lagrange(ring: Ring, evals: Sequence[list], r: int) -> list:
+    """Interpolate coefficient-form ring values at integer nodes 0..deg, then
+    evaluate at the F_q scalar r (verifier.rs:139-257 semantics)."""
+    q = ring.q
+    n = len(evals)
+    for i in range(n):
+        if r == i % q:
+            return list(evals[i])
+    result = cr.czero(ring)
+    for i in range(n):
+        num, den = 1, 1
+        for j in range(n):
+            if j == i:
+                continue
+            num = num * ((r - j) % q) % q
+            den = den * ((i - j) % q) % q
+        lag = num * pow(den, q - 2, q) % q
+        result = cr.cadd(ring, result, cr.cscale(ring, lag, evals[i]))
+    return result
+
+
+def verify(
+    ring: Ring,
+    transcript: PlusTranscript,
+    nvars: int,
+    degree: int,
+    claimed_sum: list,
+    proof: SumcheckProof,
+):
+    """Returns (point (list of F_q ints), expected evaluation (coeff list))."""
+    transcript.absorb_coeffs(cr.cconst(ring, nvars))
+    transcript.absorb_coeffs(cr.cconst(ring, degree))
+    challenges = []
+    for rnd in range(nvars):
+        evals = proof.round_evals[rnd]
+        if len(evals) != degree + 1:
+            raise SumcheckError("wrong number of evaluations")
+        for e in evals:
+            transcript.absorb_coeffs(e)
+        challenges.append(transcript.get_challenge())
+    expected = claimed_sum
+    for rnd in range(nvars):
+        evals = proof.round_evals[rnd]
+        if cr.cadd(ring, evals[0], evals[1]) != list(expected):
+            raise SumcheckError(f"sumcheck round {rnd}: p0+p1 != expected")
+        expected = _coeff_eval_lagrange(ring, evals, challenges[rnd])
+    return challenges, expected
+
+
+def eq_eval_scalar(ring: Ring, xs: Sequence[int], ys: Sequence[int]) -> int:
+    q = ring.q
+    res = 1
+    for x, y in zip(xs, ys):
+        res = res * ((2 * x * y - x - y + 1) % q) % q
+    return res

@@ -1,0 +1,332 @@
+"""Exact modular matrix multiplication on the MXU via byte-plane matmuls.
+
+The O(M*K*N) contraction of an F_q matrix product rides the MXU as uint8
+matmuls with int32 accumulation (exact: 255*255*K_chunk < 2^31 for
+K_chunk <= 2^15), and only the O(M*N) epilogue (carry propagation + wide
+Montgomery reduction) runs on the VPU. This supersedes the streamed VPU path
+(`rings/ops.mat_apply`) for every large contraction:
+
+  - CRT/ICRT: the [d, d] cyclotomic CRT matrices applied to big batches of
+    coefficient vectors (the role of stark-rings' NTTs; SURVEY.md section 2.6),
+  - Ajtai commitments: [kappa, n] ring mat-vec/mat-mat over NTT form
+    (/root/reference/crates/latticefold/src/commitment/commitment_scheme.rs:60-76),
+  - LatticeFold+ monomial-matrix commitments A*M_f (matrix-matrix products,
+    /root/reference/crates/latticefold-plus/src/rgchk.rs:292-332).
+
+Scheme (all arrays little-endian u32 limbs, Montgomery domain):
+
+  1. The left operand is pre-adjusted by 2^32 mod q so the wide reduction
+     with R2 = 2^(32*(nl+1)) lands back in the standard Montgomery domain:
+     REDC_R2(sum a*2^32*R * b*R) = (sum ab) * R.
+  2. Both operands split into 4*nl byte planes; one dot_general computes all
+     plane pairs: out[m*DA, n*DB] = sum_k A_i[m,k] * B_j[k,n], K chunked to
+     2^15 to keep int32 accumulation exact.
+  3. Plane products are grouped by byte position s = i + j in split
+     (lo16, hi16) uint32 accumulators (no overflow: <= chunks * min(DA,DB)
+     * 2^16 < 2^32), carry-propagated to base-256 digits, packed to u32
+     limbs, and Montgomery-reduced by R2 (nl+1 REDC rounds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..modops import Modulus
+from .construct import Ring
+
+U32 = jnp.uint32
+_K_CHUNK = 1 << 15  # 255*255*2^15 = 2.13e9 < 2^31-1
+
+
+# ---------------------------------------------------------------------------
+# plane split / adjustment
+# ---------------------------------------------------------------------------
+
+
+def to_planes(x):
+    """u32 limb array [..., nl] -> u8 byte planes [..., 4*nl] (little-endian)."""
+    nl = x.shape[-1]
+    bytes_ = [(x >> (8 * b)).astype(jnp.uint8) for b in range(4)]
+    stacked = jnp.stack(bytes_, axis=-1)  # [..., nl, 4]
+    return stacked.reshape(x.shape[:-1] + (4 * nl,))
+
+
+def _mont_const(m: Modulus, v: int):
+    """v (mod q) as a Montgomery-domain constant limb vector (numpy)."""
+    R = 1 << (32 * m.nl)
+    return m.encode(np.array(v % m.q * R % m.q, dtype=object))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def adjust_lhs(m: Modulus, a):
+    """Premultiply a Montgomery-domain array by 2^32 mod q (step 1 above)."""
+    c = jnp.asarray(np.broadcast_to(_mont_const(m, 1 << 32), a.shape), dtype=U32)
+    return mo.mont_mul(m, a, c)
+
+
+# ---------------------------------------------------------------------------
+# wide epilogue: position-grouped planes -> u32 limbs -> REDC
+# ---------------------------------------------------------------------------
+
+
+def _carry_pack(u_list, out_limbs: int):
+    """Base-256 carry propagation of position values (u32, < 2^26 each) into
+    ``out_limbs`` u32 limbs."""
+    npos = 4 * out_limbs
+    zero = jnp.zeros_like(u_list[0])
+    u = list(u_list) + [zero] * (npos - len(u_list))
+    bytes_out = []
+    carry = zero
+    for s in range(npos):
+        t = u[s] + carry
+        bytes_out.append(t & jnp.uint32(0xFF))
+        carry = t >> 8
+    limbs = []
+    for t in range(out_limbs):
+        b0, b1, b2, b3 = bytes_out[4 * t : 4 * t + 4]
+        limbs.append(b0 | (b1 << 8) | (b2 << 16) | (b3 << 24))
+    return limbs
+
+
+def _redc_wide(m: Modulus, t_limbs):
+    """Montgomery reduction by R2 = 2^(32*(len(t_limbs)-nl)): returns
+    T * R2^{-1} mod q as [..., nl] (canonical < q).
+
+    Requires T < q * R2 (holds for any contraction length K < 2^28, since
+    K*q^2 < 2^28 * q * 2^(32*nl) <= q * R2 when there is >= one extra limb).
+    Standard word-level REDC: each round zeroes the low limb with mu = t0 *
+    (-q^-1 mod 2^32), adds mu*q, shifts one limb; one guard limb absorbs the
+    ripple carries, final value < 2q -> one conditional subtract.
+    """
+    nl = m.nl
+    n_extra = len(t_limbs) - nl
+    q = [np.uint32(m.q_limbs[i]) for i in range(nl)]
+    ninv = np.uint32(m.ninv)
+    zero = jnp.zeros_like(t_limbs[0])
+    t = list(t_limbs) + [zero]  # guard limb
+    for _ in range(n_extra):
+        mu = t[0] * ninv
+        c = zero
+        for j in range(nl):
+            c, t[j] = mo._mac(mu, q[j], t[j], c)
+        for j in range(nl, len(t)):
+            t[j], c = mo._addc(t[j], c)
+        t = t[1:]
+    # t has nl+1 limbs; value < 2q
+    res = t[:nl]
+    over_limb = t[nl]
+    qc = mo._qconst(m, res[0])
+    ge = over_limb.astype(jnp.bool_) | mo._geq(res, qc, nl)
+    red, _ = mo._sub_limbs(res, qc, nl)
+    return jnp.stack(mo._csel(ge, red, res, nl), axis=-1)
+
+
+def _plane_dot(lhs_planes, rhs_planes):
+    """lhs [.., M, K, DA], rhs [.., K, N, DB] -> int32 [.., M, DA, N, DB].
+
+    Batched over leading axes (must match). One MXU dot per K chunk.
+    """
+    *bl, M, K, DA = lhs_planes.shape
+    *br, K2, N, DB = rhs_planes.shape
+    assert K == K2 and bl == br
+    assert K < (1 << 28), "contraction too long for exact wide accumulation"
+    lhs = jnp.moveaxis(lhs_planes, -1, -2)  # [.., M, DA, K]
+    lhs = lhs.reshape(tuple(bl) + (M * DA, K))
+    rhs = rhs_planes.reshape(tuple(br) + (K, N * DB))
+    nb = len(bl)
+    dnums = (((nb + 1,), (nb,)), (tuple(range(nb)), tuple(range(nb))))
+    nchunks = -(-K // _K_CHUNK)
+    out = None
+    for ci in range(nchunks):
+        lo, hi = ci * _K_CHUNK, min(K, (ci + 1) * _K_CHUNK)
+        p = jax.lax.dot_general(
+            lhs[..., lo:hi], rhs[..., lo:hi, :], dnums,
+            preferred_element_type=jnp.int32,
+        )
+        pu = p.astype(U32)
+        plo, phi = pu & jnp.uint32(0xFFFF), pu >> 16
+        out = (plo, phi) if out is None else (out[0] + plo, out[1] + phi)
+    lo = out[0].reshape(tuple(bl) + (M, DA, N, DB))
+    hi = out[1].reshape(tuple(bl) + (M, DA, N, DB))
+    return lo, hi
+
+
+def _group_positions(lo, hi, DA: int, DB: int):
+    """Group plane products by byte position s = i + j; returns u32 list
+    u[s] (< 2^26) indexed s in [0, DA+DB)."""
+    S = DA + DB - 1
+    conv_lo = [None] * S
+    conv_hi = [None] * S
+    for i in range(DA):
+        for j in range(DB):
+            s = i + j
+            l, h = lo[..., :, i, :, j], hi[..., :, i, :, j]
+            conv_lo[s] = l if conv_lo[s] is None else conv_lo[s] + l
+            conv_hi[s] = h if conv_hi[s] is None else conv_hi[s] + h
+    zero = jnp.zeros_like(conv_lo[0])
+    u = []
+    for s in range(S + 2):
+        v = conv_lo[s] if s < S else zero
+        if 2 <= s < S + 2 and conv_hi[s - 2] is not None:
+            v = v + conv_hi[s - 2]
+        u.append(v)
+    return u
+
+
+# ---------------------------------------------------------------------------
+# public: F_q matmul
+# ---------------------------------------------------------------------------
+
+
+def matmul_precompute(m: Modulus, A):
+    """Montgomery-domain matrix [..., M, K, nl] -> adjusted byte planes
+    [..., M, K, 4nl] for the lhs of fq_matmul (host/setup path)."""
+    return to_planes(adjust_lhs(m, A))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def fq_matmul(m: Modulus, lhs_planes, rhs):
+    """Exact F_q matmul on the MXU.
+
+    lhs_planes: [.., M, K, 4nl] u8 (from matmul_precompute — already carries
+    the 2^32 adjustment). rhs: [.., K, N, nl] u32 Montgomery.
+    Returns [.., M, N, nl] u32 Montgomery = (sum_k A[m,k]*B[k,n]) in the
+    standard Montgomery domain, exact for K < 2^32.
+    """
+    nl = m.nl
+    DA = lhs_planes.shape[-1]
+    rhs_planes = to_planes(rhs)
+    DB = rhs_planes.shape[-1]
+    lo, hi = _plane_dot(lhs_planes, rhs_planes)
+    u = _group_positions(lo, hi, DA, DB)
+    t_limbs = _carry_pack(u, 2 * nl + 1)
+    return _redc_wide(m, t_limbs)
+
+
+# ---------------------------------------------------------------------------
+# ring-level wrappers
+# ---------------------------------------------------------------------------
+
+
+def _np_planes(x: np.ndarray) -> np.ndarray:
+    """numpy u32 limb array [..., nl] -> u8 planes [..., 4nl] (host path)."""
+    nl = x.shape[-1]
+    out = np.empty(x.shape[:-1] + (4 * nl,), dtype=np.uint8)
+    for b in range(4):
+        out[..., b::4] = ((x >> (8 * b)) & 0xFF).astype(np.uint8)
+    return out
+
+
+def host_planes(m: Modulus, mont_vals: np.ndarray) -> np.ndarray:
+    """Host-side matmul_precompute: Montgomery-domain object-int array
+    [..., M, K] -> adjusted u8 planes [..., M, K, 4nl]."""
+    adj = np.vectorize(lambda v: int(v) * (1 << 32) % m.q, otypes=[object])(mont_vals)
+    return _np_planes(m.encode(adj))
+
+
+@functools.lru_cache(maxsize=None)
+def _crt_planes_np(ring: Ring, which: str):
+    """Adjusted byte planes of the CRT/ICRT matrix, [dout, din, 4nl] u8."""
+    rows = {"crt": ring.crt_rows, "icrt": ring.icrt_rows}[which]
+    R = 1 << (32 * ring.nl)
+    mont = np.array([[v * R % ring.q for v in row] for row in rows], dtype=object)
+    return host_planes(ring.fq, mont)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def crt(ring: Ring, coeffs):
+    """[N, d, nl] coefficient form -> [N, ncomp, e, nl] NTT form (MXU path).
+
+    Bit-identical to rings.ops.crt (tested); O(d^2) dense transform as one
+    [d, d] x [d, N] byte-plane matmul — MXU-bound instead of VPU-bound.
+    """
+    N = coeffs.shape[0]
+    planes = jnp.asarray(_crt_planes_np(ring, "crt"))
+    rhs = jnp.moveaxis(coeffs, 0, 1)  # [d, N, nl]
+    out = fq_matmul(ring.fq, planes, rhs)  # [d, N, nl]
+    out = jnp.moveaxis(out, 1, 0)
+    return out.reshape(N, ring.ncomp, ring.e, ring.nl)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def icrt(ring: Ring, x):
+    """[N, ncomp, e, nl] NTT form -> [N, d, nl] coefficient form (MXU path)."""
+    N = x.shape[0]
+    planes = jnp.asarray(_crt_planes_np(ring, "icrt"))
+    rhs = jnp.moveaxis(x.reshape(N, ring.d, ring.nl), 0, 1)
+    out = fq_matmul(ring.fq, planes, rhs)
+    return jnp.moveaxis(out, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Ajtai commitment over NTT form: contraction over ring elements with the
+# extension-field (K) structure handled by an i+j convolution + reduction-row
+# combine, mirroring rings.ops.ext_mul.
+# ---------------------------------------------------------------------------
+
+
+def ajtai_precompute(ring: Ring, matrix):
+    """[kappa, n, ncomp, e, nl] Montgomery Ajtai matrix -> lhs byte planes
+    [ncomp, kappa*e, n, 4nl] (component-batched)."""
+    kappa, n = matrix.shape[0], matrix.shape[1]
+    adj = adjust_lhs(ring.fq, matrix)
+    # [kappa, n, c, e, nl] -> [c, kappa, e, n, nl] -> [c, kappa*e, n, nl]
+    a = jnp.transpose(adj, (2, 0, 3, 1, 4)).reshape(
+        ring.ncomp, kappa * ring.e, n, ring.nl
+    )
+    return to_planes(a)
+
+
+@functools.lru_cache(maxsize=None)
+def _red_rows_np(ring: Ring):
+    if ring.e == 1:
+        return None
+    R = 1 << (32 * ring.nl)
+    rows = [[v * R % ring.q for v in row] for row in ring.K.red_rows]
+    return ring.fq.encode(np.array(rows, dtype=object))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ajtai_commit(ring: Ring, lhs_planes, f):
+    """Commit a batch of witnesses: f [n, Nb, ncomp, e, nl] -> [kappa, Nb, ncomp, e, nl].
+
+    cm[k, c] = sum_n M[k, n, c] *_K f[n, c]  — the plane matmul computes all
+    K-coordinate pair products P[i, j] in one MXU pass per component; the
+    e-structure is folded afterwards with the reduction rows of m(y)
+    (exactly ext_mul's convolution; rings/ops.py:86-105).
+    """
+    m, e, ncomp, nl = ring.fq, ring.e, ring.ncomp, ring.nl
+    kappa = lhs_planes.shape[1] // e
+    n, Nb = f.shape[0], f.shape[1]
+    # rhs: [c, n, e*... wait — need contraction over n only, cols (j, Nb)
+    rhs = jnp.transpose(f, (2, 0, 3, 1, 4)).reshape(ncomp, n, e * Nb, nl)
+    rhs_planes = to_planes(rhs)
+    DA, DB = lhs_planes.shape[-1], rhs_planes.shape[-1]
+    lo, hi = _plane_dot(lhs_planes, rhs_planes)  # [c, kappa*e, DA, e*Nb, DB]
+    u = _group_positions(lo, hi, DA, DB)
+    t_limbs = _carry_pack(u, 2 * nl + 1)
+    P = _redc_wide(m, t_limbs)  # [c, kappa*e, e*Nb, nl] mont
+    P = P.reshape(ncomp, kappa, e, e, Nb, nl)
+    # convolution over (i, j) with reduction rows (i+j >= e wraps via m(y))
+    conv = [None] * (2 * e - 1)
+    for i in range(e):
+        for j in range(e):
+            term = P[:, :, i, j]
+            s = i + j
+            conv[s] = term if conv[s] is None else mo.add(m, conv[s], term)
+    out = conv[:e]  # list of [c, kappa, Nb, nl]
+    if e > 1:
+        red = jnp.asarray(_red_rows_np(ring))  # [e-1, e, nl]
+        for k in range(e - 1):
+            hi_term = conv[e + k]  # [c, kappa, Nb, nl]
+            row = red[k]  # [e, nl]
+            prod = mo.mont_mul(m, hi_term[..., None, :], row)  # [c,kappa,Nb,e,nl]
+            for t in range(e):
+                out[t] = mo.add(m, out[t], prod[..., t, :])
+    res = jnp.stack(out, axis=-2)  # [c, kappa, Nb, e, nl]
+    return jnp.transpose(res, (1, 2, 0, 3, 4))  # [kappa, Nb, c, e, nl]

@@ -21,6 +21,7 @@ from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .poly import mle as mlemod
 from .rings import ops as rops
@@ -75,6 +76,47 @@ def _round_kernel(comb: CombFn, degree: int):
     return kernel
 
 
+# Below this table size a single fixed-shape kernel (valid-prefix masked)
+# handles every remaining round: one XLA compile instead of one per round.
+# Above it, per-size kernels win because the O(2^s) work dominates compiles.
+_PAD_THRESHOLD = 1 << 12
+
+
+@functools.lru_cache(maxsize=None)
+def _round_msg_padded(comb: CombFn, degree: int):
+    """Fixed-size round message kernel: mles [nm, S, ...] whose valid prefix
+    holds the live table (rest zero); ``mask`` [S/2, 1, 1, 1] bool selects
+    live pairs. One XLA compile serves every round at or below S."""
+    ring = comb.ring
+
+    @jax.jit
+    def kernel(mles, consts, mask):
+        a0 = mles[:, 0::2]
+        a1 = mles[:, 1::2]
+
+        def masked_sum(vals):
+            return rops.ring_sum(ring, jnp.where(mask, vals, jnp.uint32(0)), 0)
+
+        evs = [masked_sum(comb.fn(a0, consts)), masked_sum(comb.fn(a1, consts))]
+        if degree >= 2:
+            step = rops.ring_sub(ring, a1, a0)
+            cur = a1
+            for _ in range(2, degree + 1):
+                cur = rops.ring_add(ring, cur, step)
+                evs.append(masked_sum(comb.fn(cur, consts)))
+        return jnp.stack(evs)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_padded(ring: Ring, mles, c, mask):
+    """Fix variable 0 on the valid prefix, rezero and keep the buffer shape."""
+    folded = mlemod.fold(ring, mles, c)
+    folded = jnp.where(mask, folded, jnp.uint32(0))
+    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+
+
 @dataclass
 class SumcheckProof:
     round_evals: List[List[tuple]]  # nvars rounds x (degree+1) host ring elements
@@ -99,19 +141,37 @@ def prove(
     transcript.absorb(ring.embed_int(nvars))
     transcript.absorb(ring.embed_int(degree))
     kernel = _round_kernel(comb, degree)
+    kernel_pad = _round_msg_padded(comb, degree)
+    pad_size = min(_PAD_THRESHOLD, 1 << nvars)
     challenges = []
     round_evals = []
     cur = mles
-    for _ in range(nvars):
-        evs_dev = kernel(cur, comb_consts)  # [degree+1, ncomp, e, nl]
+    padded = False
+    for rnd in range(nvars):
+        size = 1 << (nvars - rnd)
+        if not padded and size <= pad_size:
+            if cur.shape[1] < pad_size:
+                cur = mlemod.pad_to(ring, cur, pad_size)
+            padded = True
+        if padded:
+            mask = np.zeros((pad_size // 2, 1, 1, 1), dtype=bool)
+            mask[: size // 2] = True
+            mask = jnp.asarray(mask)
+            evs_dev = kernel_pad(cur, comb_consts, mask)
+        else:
+            evs_dev = kernel(cur, comb_consts)  # [degree+1, ncomp, e, nl]
         evs_host = list(rops.to_host(ring, evs_dev))
         transcript.absorb_slice(evs_host)
         round_evals.append(evs_host)
         c = transcript.get_challenge()
         transcript.absorb_field_element(c)
         challenges.append(c)
-        cur = mlemod.fold(ring, cur, rops.k_to_device(ring, c))
-    final_vals = jnp.squeeze(cur, axis=1)
+        c_dev = rops.k_to_device(ring, c)
+        if padded:
+            cur = _fold_padded(ring, cur, c_dev, mask)
+        else:
+            cur = mlemod.fold(ring, cur, c_dev)
+    final_vals = cur[:, 0] if padded else jnp.squeeze(cur, axis=1)
     return SumcheckProof(round_evals), challenges, final_vals
 
 

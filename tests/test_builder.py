@@ -1,0 +1,73 @@
+"""ConstraintSystem builder tests (mirror r1cs.rs:604-772)."""
+
+import pytest
+
+from latticefold_tpu.arith.builder import (
+    Constraint,
+    ConstraintSystem,
+    LinearCombination,
+    NotSatisfiedError,
+)
+from latticefold_tpu.rings.construct import get_ring
+
+RING = get_ring("goldilocks")
+
+
+def cubic_system():
+    """x^3 + x + 5 = y as a built system: vars [one, x, y, t1=x*x, t2=t1*x]."""
+    cs = ConstraintSystem(RING, ninputs=1, nauxs=4)  # input: y; aux: one,x,t1,t2
+    # indices: 0=y (public), 1=one, 2=x, 3=t1, 4=t2
+    cs.add_constraint(Constraint(
+        LinearCombination.single_term(1, 2),
+        LinearCombination.single_term(1, 2),
+        LinearCombination.single_term(1, 3),
+    ))
+    cs.add_constraint(Constraint(
+        LinearCombination.single_term(1, 3),
+        LinearCombination.single_term(1, 2),
+        LinearCombination.single_term(1, 4),
+    ))
+    cs.add_constraint(Constraint(
+        LinearCombination([(1, 4), (1, 2), (5, 1)]),
+        LinearCombination.single_term(1, 1),
+        LinearCombination.single_term(1, 0),
+    ))
+    return cs
+
+
+def assignment(x):
+    y = x**3 + x + 5
+    emb = RING.embed_int
+    return [emb(y)], [emb(1), emb(x), emb(x * x), emb(x**3)]
+
+
+def test_builder_satisfied():
+    cs = cubic_system()
+    assert cs.is_valid()
+    pri, aux = assignment(3)
+    cs.is_satisfied(pri, aux)
+
+
+def test_builder_not_satisfied_reports_index():
+    cs = cubic_system()
+    pri, aux = assignment(3)
+    aux[2] = RING.embed_int(999)  # corrupt x*x
+    with pytest.raises(NotSatisfiedError) as ei:
+        cs.is_satisfied(pri, aux)
+    assert ei.value.index == 0
+
+
+def test_builder_to_r1cs_roundtrip():
+    cs = cubic_system()
+    r1cs = cs.to_r1cs()
+    pri, aux = assignment(2)
+    z = pri + aux
+    assert r1cs.check_relation(RING, z)
+
+
+def test_swap_ab():
+    cs = cubic_system()
+    # b side touches only var 1 and 2; a touches 1,2,3,4 -> no swap
+    before = [c.a.terms[:] for c in cs.constraints]
+    cs.swap_AB_if_beneficial()
+    assert [c.a.terms for c in cs.constraints] == before

@@ -1,0 +1,122 @@
+"""Fused-kernel differential audit (jit vs eager vs host integer math).
+
+XLA:CPU 0.9.0 miscompiles programs that slice-and-add along one axis of a
+modular product whose other operand was broadcast-deficient on a different
+axis (the rho-fold `sum_i rho_i * f_i` hit it: wrong values on a whole
+extension coordinate). Op-by-op (eager) execution and separately-jitted
+stages are correct; the hot paths are therefore structured as two-stage
+kernels (nifs/folding.py:fold_witnesses, prepare_folding_mles) and every
+remaining fused kernel is audited here on random data against eager and
+against pure-Python ring arithmetic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import latticefold_tpu.rings.ops as rops
+from latticefold_tpu import modops as mo
+from latticefold_tpu.arith.sparse import SparseMatrix
+from latticefold_tpu.nifs import folding
+from latticefold_tpu.rings.construct import get_ring
+
+
+def rand_ring(ring, rng, shape):
+    ints = rng.integers(0, min(ring.q, 1 << 63), size=tuple(shape) + (ring.ncomp, ring.e), dtype=np.uint64).astype(object)
+    ints %= ring.q
+    R = 1 << (32 * ring.nl)
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints)
+    return jnp.asarray(ring.fq.encode(mont))
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "frog"])
+def test_rho_fold_matches_host(name):
+    """The regression shape: two-stage rho-fold must equal host math."""
+    ring = get_ring(name)
+    rng = np.random.default_rng(42)
+    f_all = rand_ring(ring, rng, (30, 20))
+    rhos = rand_ring(ring, rng, (30,))
+    got = rops.to_host(ring, folding.fold_witnesses(ring, f_all, rhos))
+    f_host = rops.to_host(ring, f_all)
+    r_host = rops.to_host(ring, rhos)
+    for j in range(20):
+        acc = ring.zero()
+        for i in range(30):
+            acc = ring.radd(acc, ring.rmul(tuple(r_host[i]), tuple(f_host[i, j])))
+        assert acc == tuple(got[j]), f"rho-fold mismatch at {j}"
+
+
+def _jit_vs_eager(fn, *args):
+    got = np.asarray(fn(*args))
+    with jax.disable_jit():
+        ref = np.asarray(fn(*args))
+    return got, ref
+
+
+def test_fused_commit():
+    ring = get_ring("goldilocks")
+    rng = np.random.default_rng(7)
+    mat = rand_ring(ring, rng, (3, 17))
+    f = rand_ring(ring, rng, (17,))
+
+    @jax.jit
+    def commit(mat, f):
+        return rops.ring_sum(ring, rops.ring_mul(ring, mat, f[None]), 1)
+
+    got, ref = _jit_vs_eager(commit, mat, f)
+    assert (got == ref).all()
+
+
+def test_fused_spmv():
+    ring = get_ring("goldilocks")
+    rng = np.random.default_rng(9)
+    rows = [[(int(rng.integers(1, 100)), int(c)) for c in rng.choice(8, size=2, replace=False)] for _ in range(6)]
+    m = SparseMatrix(ring, 6, 8, rows)
+    z = rand_ring(ring, rng, (8,))
+    got, ref = _jit_vs_eager(m.mat_vec, z)
+    assert (got == ref).all()
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "frog"])
+def test_fused_folding_round_kernel(name):
+    """The real folding comb kernel (broadcast mus + instance-axis reduce)."""
+    from latticefold_tpu import sumcheck as sc
+    from latticefold_tpu.poly import mle as mlemod
+
+    ring = get_ring(name)
+    rng = np.random.default_rng(11)
+    two_k, tau, b_small = 4, ring.tau, 2
+    m = 16
+    mles = rand_ring(ring, rng, (5 + two_k * tau, m))
+    mus = rand_ring(ring, rng, (two_k,))[:, 0]  # [2K, e, nl] diag coords
+    comb = folding._folding_comb(ring, two_k, tau, b_small)
+    kernel = sc._round_kernel(comb, 2 * b_small)
+    got, ref = _jit_vs_eager(kernel, mles, mus)
+    assert (got == ref).all()
+
+
+def test_fused_linearization_round_kernel():
+    from latticefold_tpu import sumcheck as sc
+    from latticefold_tpu.nifs import linearization
+
+    ring = get_ring("goldilocks")
+    rng = np.random.default_rng(13)
+    t, m = 3, 16
+    mles = rand_ring(ring, rng, (t + 1, m))
+    comb = linearization._lin_comb(ring, ((0, 1), (2,)), (1, -1))
+    kernel = sc._round_kernel(comb, 3)
+    got, ref = _jit_vs_eager(kernel, mles, ())
+    assert (got == ref).all()
+
+
+def test_fused_mxu_matmul():
+    from latticefold_tpu.rings import mxu
+
+    ring = get_ring("goldilocks")
+    rng = np.random.default_rng(17)
+    A = rand_ring(ring, rng, (2, 40))
+    f = rand_ring(ring, rng, (40, 3))
+    planes = mxu.ajtai_precompute(ring, A)
+    got, ref = _jit_vs_eager(lambda p, x: mxu.ajtai_commit(ring, p, x), planes, f)
+    assert (got == ref).all()

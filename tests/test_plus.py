@@ -1,0 +1,254 @@
+"""LatticeFold+ protocol tests (mirror the reference's per-module tests at
+small sizes: setchk.rs:357-495, rgchk.rs:342-433, cm.rs:608-666,
+decomp.rs:125-269, mlin.rs:108-184, r1cs.rs:187-233, plus.rs:145-273 — frog
+ring, shrunk from n=2^15 to n=2^6..2^8 for CPU test speed)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import latticefold_tpu.rings.ops as rops
+from latticefold_tpu import modops as mo
+from latticefold_tpu.arith.sparse import SparseMatrix
+from latticefold_tpu.commitment import AjtaiScheme
+from latticefold_tpu.plus import (
+    ComR1CS,
+    DecompParameters,
+    LinParameters,
+    Mlin,
+    PlusParameters,
+    PlusProver,
+    PlusTranscript,
+    PlusVerifier,
+    Rg,
+    RgInstance,
+    estimate_bound,
+    linearize,
+    verify_linearization,
+)
+from latticefold_tpu.plus import coeffring as cr
+from latticefold_tpu.plus import decomp as pdecomp
+from latticefold_tpu.plus import setchk
+from latticefold_tpu.plus.cm import cm_prove, cm_verify
+from latticefold_tpu.plus.r1cs import r1cs_decomposed_square
+from latticefold_tpu.rings.construct import get_ring
+
+RING = get_ring("frog")
+
+
+def dparams(k=2):
+    ring = RING
+    b = ring.d // 2
+    l = math.ceil(math.log(ring.q) / math.log(b))
+    return DecompParameters(b=b, k=k, l=l)
+
+
+def ring_vec_from_coeff_rows(rows):
+    """list of coeff lists -> device NTT array."""
+    elts = [RING.crt_host([c % RING.q for c in row]) for row in rows]
+    return rops.to_device(RING, elts)
+
+
+def identity_sparse(n, ring=None):
+    ring = ring or RING
+    return SparseMatrix(ring, n, n, [[(1, i)] for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# psi / exp algebra
+# ---------------------------------------------------------------------------
+
+
+def test_psi_exp_identity():
+    ring = RING
+    dp = ring.d // 2
+    psi = list(cr.psi_coeffs(ring))
+    for a in range(-dp + 1, dp + 1):
+        mono = cr.exp_coeffs(ring, a)
+        got = cr.ct(cr.cmul(ring, psi, mono))
+        assert got == a % ring.q, f"psi identity failed at {a}"
+
+
+def test_monomial_table_matches_crt():
+    ring = RING
+    tab = cr.monomial_table_np(ring)
+    devs = rops.to_host(ring, jnp.asarray(tab))  # one conversion, one compile
+    for m in range(ring.d):
+        assert tuple(devs[m]) == ring.crt_host(cr.exp_coeffs(ring, m))
+
+
+# ---------------------------------------------------------------------------
+# set check (setchk.rs tests)
+# ---------------------------------------------------------------------------
+
+
+def _idx_identity(n, d):
+    """Identity matrix of X^0 monomials on the diagonal, zeros elsewhere."""
+    idx = -np.ones((n, n), dtype=np.int32)
+    np.fill_diagonal(idx, 0)
+    return idx
+
+
+def test_set_check_single():
+    ring = RING
+    n = 4
+    sets = [setchk.MatrixSet(idx=_idx_identity(n, ring.d))]
+    ts = PlusTranscript(ring)
+    out = setchk.set_check(ring, 2, sets, [], ts)
+    tv = PlusTranscript(ring)
+    setchk.verify(ring, out, tv)
+
+
+def test_set_check_batched_and_vectors():
+    ring = RING
+    n = 4
+    sets = [
+        setchk.MatrixSet(idx=_idx_identity(n, ring.d)),
+        setchk.MatrixSet(idx=_idx_identity(n, ring.d)),
+        setchk.VectorSet(idx=np.zeros(n, dtype=np.int32)),
+        setchk.VectorSet(idx=np.full(n, 2, dtype=np.int32)),
+    ]
+    ts = PlusTranscript(ring)
+    out = setchk.set_check(ring, 2, sets, [], ts)
+    tv = PlusTranscript(ring)
+    setchk.verify(ring, out, tv)
+
+
+def test_set_check_bad_rejected():
+    ring = RING
+    n = 4
+    coeffs = np.zeros((n, n, ring.d), dtype=object)
+    for i in range(n):
+        coeffs[i, i, 0] = 1
+    coeffs[0, 0, 1] = 1  # 1 + X: not a monomial
+    sets = [
+        setchk.MatrixSet(idx=_idx_identity(n, ring.d)),
+        setchk.MatrixSet(coeffs=coeffs),
+    ]
+    ts = PlusTranscript(ring)
+    out = setchk.set_check(ring, 2, sets, [], ts)
+    tv = PlusTranscript(ring)
+    with pytest.raises(setchk.SetCheckError):
+        setchk.verify(ring, out, tv)
+
+
+# ---------------------------------------------------------------------------
+# range check (rgchk.rs tests, shrunk)
+# ---------------------------------------------------------------------------
+
+
+def _small_f(n):
+    rows = [[0] * RING.d for _ in range(n)]
+    rows[0][0], rows[0][1] = 2, 5
+    rows[1][0], rows[1][2] = 4, 1
+    return ring_vec_from_coeff_rows(rows)
+
+
+# tau length = kappa*k*d*d*l; frog l = 22 forces n >= 2^13 even at k=1
+RG_N = 1 << 13
+
+
+def test_range_check():
+    ring = RING
+    dp = dparams(k=1)
+    scheme = AjtaiScheme(ring, 1, RG_N, seed=3)
+    f = _small_f(RG_N)
+    inst = RgInstance.from_f(ring, f, scheme, dp)
+    rg = Rg(nvars=13, instances=[inst], dparams=dp)
+    ts = PlusTranscript(ring)
+    dcom = rg.range_check([], ts)
+    tv = PlusTranscript(ring)
+    from latticefold_tpu.plus.rgchk import dcom_verify
+
+    dcom_verify(ring, dcom, tv)
+
+
+def test_range_check_with_matrix():
+    ring = RING
+    dp = dparams(k=1)
+    scheme = AjtaiScheme(ring, 1, RG_N, seed=3)
+    f = _small_f(RG_N)
+    m = identity_sparse(RG_N)
+    m.rows[0] = [(2, 0)]
+    inst = RgInstance.from_f(ring, f, scheme, dp)
+    rg = Rg(nvars=13, instances=[inst], dparams=dp)
+    ts = PlusTranscript(ring)
+    dcom = rg.range_check([m], ts)
+    tv = PlusTranscript(ring)
+    from latticefold_tpu.plus.rgchk import dcom_verify
+
+    dcom_verify(ring, dcom, tv)
+
+
+# ---------------------------------------------------------------------------
+# commitment transformation (cm.rs test, shrunk)
+# ---------------------------------------------------------------------------
+
+
+def test_cm_prove_verify():
+    ring = RING
+    dp = dparams(k=1)
+    kappa = 1
+    # must fit tau (kappa*k*d*d*l) and t(z) (2^log_kappa*k*d*l*d)
+    n = RG_N
+    scheme = AjtaiScheme(ring, kappa, n, seed=5)
+    f = _small_f(n)
+    m = identity_sparse(n)
+    m.rows[0] = [(2, 0)]
+    inst = RgInstance.from_f(ring, f, scheme, dp)
+    rg = Rg(nvars=(n - 1).bit_length(), instances=[inst], dparams=dp)
+    ts = PlusTranscript(ring)
+    com, proof = cm_prove(rg, [m], ts)
+    tv = PlusTranscript(ring)
+    x = cm_verify(ring, proof, [m], tv)
+    assert x.cm_g == com.x.cm_g
+    assert x.ro == com.x.ro
+    assert x.vo == com.x.vo
+
+
+# ---------------------------------------------------------------------------
+# e2e: ComR1CS linearize -> mlin -> decomp -> PlusProver/Verifier
+# ---------------------------------------------------------------------------
+
+
+def _plus_setup(n, k):
+    ring = RING
+    m = n // k
+    dp = dparams(k=k)
+    kappa = 1
+    sop = ring.d * 128
+    B = estimate_bound(sop, 3, ring.d, k) + 1
+    params = LinParameters(kappa=kappa, decomp=dp)
+    A0 = identity_sparse(m)
+    B0 = identity_sparse(m)
+    C0 = identity_sparse(m)
+    A_, B_, C_ = r1cs_decomposed_square(ring, A0, B0, C0, n, B, k)
+    scheme = AjtaiScheme(ring, kappa, n, seed=7)
+    z_rows = [[1] + [0] * (ring.d - 1) for _ in range(m)]
+    z = ring_vec_from_coeff_rows(z_rows)
+    c = ComR1CS.new(ring, [A_, B_, C_], z, 1, B, k, scheme)
+    return ring, scheme, c, params, B
+
+
+def test_comr1cs_linearize():
+    ring, scheme, c, params, B = _plus_setup(n=64, k=2)
+    ts = PlusTranscript(ring)
+    linb, lproof = linearize(c, ts)
+    tv = PlusTranscript(ring)
+    verify_linearization(ring, lproof, tv)
+
+
+def test_plus_e2e():
+    ring, scheme, c, params, B = _plus_setup(n=RG_N, k=1)
+    M = c.x.matrices
+    pparams = PlusParameters(lin=params, B=B)
+    prover = PlusProver(
+        scheme=scheme, M=M, transcript=PlusTranscript(ring), params=pparams
+    )
+    proof = prover.prove([c])
+    verifier = PlusVerifier(
+        ring=ring, M=M, transcript=PlusTranscript(ring), params=pparams
+    )
+    assert verifier.verify(proof)
