@@ -63,34 +63,54 @@ def main():
     nbufs = 4
     bufs = [_rand_ring_batch(ring, rng, (n, batch)) for _ in range(nbufs)]
 
-    # warmup/compile
-    cm = scheme.commit_batch(bufs[0])
-    jax.block_until_ready(cm)
+    # One jitted fori_loop runs the whole timed region on device: per-call
+    # dispatch and host<->device transfers (large over tunneled backends)
+    # cannot pollute the measurement. xor-accumulation enforces a dependency
+    # chain; the final host transfer bounds completion.
+    from latticefold_tpu.rings import mxu
 
-    iters = 30 if on_tpu else 3
+    planes = scheme._mxu_planes
+    stacked = jnp.stack(bufs)  # [nbufs, n, batch, ...]
+    iters = 32 if on_tpu else 3
+
+    @jax.jit
+    def commit_loop(planes, stacked):
+        def body(i, acc):
+            f = jax.lax.dynamic_index_in_dim(stacked, i % nbufs, 0, keepdims=False)
+            return acc ^ mxu.ajtai_commit(ring, planes, f)
+
+        init = jnp.zeros(
+            (kappa, batch, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32
+        )
+        return jax.lax.fori_loop(0, iters, body, init)
+
+    np.asarray(commit_loop(planes, stacked))  # compile + warm
     t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        outs.append(scheme.commit_batch(bufs[i % nbufs]))
-    jax.block_until_ready(outs)
+    np.asarray(commit_loop(planes, stacked))
     dt = time.perf_counter() - t0
     commits_per_s = iters * batch / dt
 
     # side metric: CRT (NTT) throughput, elements/s at the witness shape
-    coeffs = mo.from_mont(ring.fq, jnp.reshape(bufs[0], (n * batch, ring.d, ring.nl)))
+    n_crt = n * (4 if on_tpu else 1)
+    coeffs = mo.from_mont(
+        ring.fq, jnp.reshape(bufs[0][:, : max(1, n_crt // n)], (-1, ring.d, ring.nl))
+    )
+    n_crt = coeffs.shape[0]
     crt_out = mxu.crt(ring, coeffs)
-    jax.block_until_ready(crt_out)
+    np.asarray(crt_out)
     t0 = time.perf_counter()
     crt_iters = 10 if on_tpu else 2
+    acc = None
     for _ in range(crt_iters):
-        crt_out = mxu.crt(ring, coeffs)
-    jax.block_until_ready(crt_out)
+        o = mxu.crt(ring, coeffs)
+        acc = o if acc is None else acc ^ o
+    np.asarray(acc)
     crt_dt = time.perf_counter() - t0
-    crt_elems_per_s = crt_iters * n * batch / crt_dt
+    crt_elems_per_s = crt_iters * n_crt / crt_dt
     # one butterfly-equivalent ~ d log2(d) per element for an FFT-style NTT
     import math
 
-    butterflies_per_s = crt_elems_per_s * ring.d * math.log2(ring.d)
+    butterflies_per_s = crt_elems_per_s * ring.d * math.log2(ring.d)  # FFT-equivalent work
 
     details = {
         "backend": backend,

@@ -1,0 +1,135 @@
+"""Per-subprotocol benchmark suite (parity with the reference's criterion
+benches: crates/latticefold/benches/{ajtai,linearization,decomposition,
+folding,e2e}.rs and the env-var filter system of benches/env.rs).
+
+Emits one JSON line per benchmark. Filters via env vars, with the
+reference's "if none set, all enabled" semantics (env.rs:41-98):
+
+  BENCH_RINGS=goldilocks,frog     ring filter
+  BENCH_PHASES=ajtai,lin,dec,fold,e2e
+  BENCH_ROLES=prover,verifier
+  BENCH_WIT_LEN=512               witness length (default 512 cpu / 2^15 tpu)
+  BENCH_KAPPA=4
+  BENCH_ITERS=3
+
+Usage: python benches/run.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _filter(name: str, env: str) -> bool:
+    v = os.environ.get(env, "")
+    return (not v) or (name in v.split(","))
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import numpy as np
+
+    import latticefold_tpu.nifs as nifs
+    import latticefold_tpu.nifs.decomposition as decomposition
+    import latticefold_tpu.nifs.folding as folding
+    import latticefold_tpu.nifs.linearization as linearization
+    import latticefold_tpu.rings.ops as rops
+    from latticefold_tpu.arith.ccs import CCS, CCCS, get_test_dummy_r1cs
+    from latticefold_tpu.arith.witness import Witness
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.params import PRESETS
+    from latticefold_tpu.rings.construct import get_ring
+    from latticefold_tpu.transcript import Transcript
+
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    wit_len = int(os.environ.get("BENCH_WIT_LEN", 1 << 15 if on_tpu else 1 << 9))
+    kappa = int(os.environ.get("BENCH_KAPPA", 4))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+    x_len = 1
+
+    for ring_name in ("goldilocks", "frog", "babybear"):
+        if not _filter(ring_name, "BENCH_RINGS"):
+            continue
+        ring = get_ring(ring_name)
+        dp = PRESETS[ring_name]
+
+        r1cs = get_test_dummy_r1cs(ring, x_len, wit_len, x_len + wit_len + 1)
+        ccs = CCS.from_r1cs_padded(ring, r1cs, W=x_len + wit_len + 1, L=dp.L)
+        w_host = [ring.one()] * wit_len
+        x_ccs = [ring.one()] * x_len
+        scheme = AjtaiScheme(ring, kappa, wit_len * dp.L, seed=7)
+        wit = Witness.from_w_ccs(
+            ring, dp, rops.to_device(ring, w_host), n_pad=ccs.m
+        )
+        cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+        acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
+
+        def timeit(fn, warm=1, reps=iters):
+            for _ in range(warm):
+                fn()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn()
+            if out is not None:
+                jax.block_until_ready(jax.tree.leaves(out)) if hasattr(jax, "tree") else None
+            return (time.perf_counter() - t0) / reps
+
+        if _filter("ajtai", "BENCH_PHASES") and _filter("prover", "BENCH_ROLES"):
+            dt = timeit(lambda: np.asarray(scheme.commit_device(wit.f)))
+            _emit(bench="ajtai_commit", ring=ring_name, n=wit_len * dp.L,
+                  kappa=kappa, seconds=dt, backend=backend)
+
+        if _filter("lin", "BENCH_PHASES"):
+            if _filter("prover", "BENCH_ROLES"):
+                dt = timeit(lambda: linearization.prove(cm_i, wit, Transcript(ring), ccs))
+                _emit(bench="linearization_prove", ring=ring_name, m=ccs.m,
+                      seconds=dt, backend=backend)
+            lin_lcccs, lin_proof = linearization.prove(cm_i, wit, Transcript(ring), ccs)
+            if _filter("verifier", "BENCH_ROLES"):
+                dt = timeit(lambda: linearization.verify(cm_i, lin_proof, Transcript(ring), ccs))
+                _emit(bench="linearization_verify", ring=ring_name, m=ccs.m,
+                      seconds=dt, backend=backend)
+
+        if _filter("dec", "BENCH_PHASES"):
+            if _filter("prover", "BENCH_ROLES"):
+                dt = timeit(lambda: decomposition.prove(acc, wit, Transcript(ring), ccs, scheme, dp))
+                _emit(bench="decomposition_prove", ring=ring_name, K=dp.K,
+                      seconds=dt, backend=backend)
+            _, _, _, dec_proof = decomposition.prove(acc, wit, Transcript(ring), ccs, scheme, dp)
+            if _filter("verifier", "BENCH_ROLES"):
+                dt = timeit(lambda: decomposition.verify(acc, dec_proof, Transcript(ring), ccs, dp))
+                _emit(bench="decomposition_verify", ring=ring_name, K=dp.K,
+                      seconds=dt, backend=backend)
+
+        if _filter("e2e", "BENCH_PHASES"):
+            if _filter("prover", "BENCH_ROLES"):
+                dt = timeit(
+                    lambda: nifs.prove(acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp),
+                    warm=1, reps=max(1, iters // 2),
+                )
+                _emit(bench="nifs_prove", ring=ring_name, m=ccs.m, K=dp.K,
+                      seconds=dt, backend=backend)
+            _, _, proof = nifs.prove(acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp)
+            if _filter("verifier", "BENCH_ROLES"):
+                dt = timeit(lambda: nifs.verify(acc, cm_i, proof, Transcript(ring), ccs, dp))
+                _emit(bench="nifs_verify", ring=ring_name, m=ccs.m,
+                      seconds=dt, backend=backend)
+
+
+if __name__ == "__main__":
+    main()

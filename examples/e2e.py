@@ -1,0 +1,99 @@
+"""End-to-end LatticeFold fold: prove, serialize, verify, with timings.
+
+Mirror of /root/reference/crates/latticefold/examples/e2e.rs:100-147: build a
+dummy degree-controlled R1CS, bootstrap the accumulator with one
+linearization, run the full NIFS prove, print proof sizes (raw + zlib), and
+verify. Ring/size/parameters come from the CLI (the reference injects them
+via build.rs env-var codegen; here it's argparse — same knobs: RING,
+PARAM_KAPPA, PARAM_WIT_LEN, PARAM_X_LEN plus the DecompositionParams preset).
+
+Usage: python examples/e2e.py [--ring goldilocks] [--wit-len 512]
+                              [--x-len 1] [--kappa 4] [--steps 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ring", default="goldilocks")
+    ap.add_argument("--wit-len", type=int, default=512)
+    ap.add_argument("--x-len", type=int, default=1)
+    ap.add_argument("--kappa", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=1, help="IVC fold steps")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import latticefold_tpu.nifs as nifs
+    import latticefold_tpu.nifs.linearization as linearization
+    import latticefold_tpu.rings.ops as rops
+    import latticefold_tpu.serialization as ser
+    from latticefold_tpu.arith.ccs import (
+        CCCS, CCS, get_test_dummy_r1cs, get_test_dummy_z_split_ntt,
+    )
+    from latticefold_tpu.arith.witness import Witness
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.params import PRESETS
+    from latticefold_tpu.rings.construct import get_ring
+    from latticefold_tpu.transcript import Transcript
+
+    ring = get_ring(args.ring)
+    dp = PRESETS[args.ring]
+    print(f"Decomposition parameters: B={dp.B} L={dp.L} b={dp.b} K={dp.K}")
+    print(f"ring={args.ring} wit_len={args.wit_len} kappa={args.kappa} "
+          f"backend={jax.default_backend()}")
+
+    t0 = time.perf_counter()
+    r1cs = get_test_dummy_r1cs(ring, args.x_len, args.wit_len, args.x_len + args.wit_len + 1)
+    ccs = CCS.from_r1cs_padded(ring, r1cs, W=args.x_len + args.wit_len + 1, L=dp.L)
+    one, x_ccs, w_host = get_test_dummy_z_split_ntt(ring, args.x_len, args.wit_len)
+    w_host = [ring.one()] * args.wit_len  # identity R1CS: all-ones z
+    x_ccs = [ring.one()] * args.x_len
+    scheme = AjtaiScheme(ring, args.kappa, args.wit_len * dp.L, seed=7)
+    w_dev = rops.to_device(ring, w_host)
+    wit = Witness.from_w_ccs(ring, dp, w_dev, n_pad=ccs.m)
+    cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+    t = Transcript(ring)
+    acc, _ = linearization.prove(cm_i, wit, t, ccs)
+    w_acc = wit
+    print(f"Setup in {time.perf_counter() - t0:.3f}s (includes first compiles)")
+
+    vacc = acc  # verifier's view of the accumulator before each fold
+    proofs = []
+    for step in range(args.steps):
+        tp = Transcript(ring)
+        t0 = time.perf_counter()
+        acc, w_acc, proof = nifs.prove(acc, w_acc, cm_i, wit, tp, ccs, scheme, dp)
+        proofs.append(proof)
+        print(f"step {step}: proof generated in {time.perf_counter() - t0:.3f}s")
+
+    blob = ser.serialize_proof(ring, proofs[-1])
+    assert ser.serialize_proof(ring, ser.deserialize_proof(ring, blob)) == blob
+    print(f"Proof size: {len(blob)} bytes "
+          f"({len(zlib.compress(blob))} bytes zlib-compressed)")
+
+    t0 = time.perf_counter()
+    for step, proof in enumerate(proofs):
+        tv = Transcript(ring)
+        vacc = nifs.verify(vacc, cm_i, proof, tv, ccs, dp)
+    assert vacc.cm == acc.cm and vacc.v == acc.v, "verifier/prover accumulator mismatch"
+    print(f"all {args.steps} step(s) verified in {time.perf_counter() - t0:.3f}s")
+    print(f"folded witness opens folded commitment: "
+          f"{w_acc.commit(scheme) == acc.cm}")
+
+
+if __name__ == "__main__":
+    main()

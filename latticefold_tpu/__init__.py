@@ -1,3 +1,23 @@
-"""latticefold_tpu: a TPU-native LatticeFold / LatticeFold+ framework (JAX/XLA/Pallas)."""
+"""latticefold_tpu: a TPU-native LatticeFold / LatticeFold+ framework.
+
+Capability-parity with NethermindEth/latticefold (SURVEY.md), redesigned for
+TPU: uint32-limb Montgomery field kernels and MXU byte-plane modular matmuls
+(JAX/XLA), batched device sumcheck, a bit-exact host Poseidon transcript
+(native C++ sponge when available), and shard_map-based multi-chip scaling.
+
+Public surface:
+
+    rings.construct.get_ring      — the four cyclotomic ring presets
+    arith                         — CCS/R1CS/CCCS/LCCCS, Witness, builder API
+    commitment.AjtaiScheme        — Module-SIS commitments (MXU path)
+    transcript.Transcript         — Fiat-Shamir (Poseidon)
+    nifs                          — LatticeFold NIFS prove/verify
+    plus                          — LatticeFold+ (setchk/rgchk/cm/mlin/decomp)
+    serialization                 — canonical proof/accumulator bytes
+    params / paramgen             — decomposition parameters + security grid
+    dist                          — sharded kernels over a jax Mesh
+"""
 
 __version__ = "0.1.0"
+
+from .rings.construct import get_ring  # noqa: F401  (primary entry point)

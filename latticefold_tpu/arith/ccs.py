@@ -224,6 +224,33 @@ def get_test_dummy_r1cs_non_scalar(ring: Ring, x_len: int, wit_len: int, rows: i
     return R1CS(l=x_len, A=A, B=B, C=C)
 
 
+def get_test_dummy_degree_three_ccs_non_scalar(
+    ring: Ring, witness: list, x_len: int, wit_len: int, L: int
+) -> "CCS":
+    """Degree-3 CCS of arbitrary size (ccs.rs:14-43): A=B=C=identity,
+    D = diag(w_i^2) so that (Az)(Bz)(Cz) = Dz for z built from the witness;
+    S = [[0,1,2],[3]], c = [1, -1]."""
+    ncols = x_len + wit_len + 1
+    rows = len(witness)
+    ident = [[(1, i)] for i in range(rows)]
+    A = SparseMatrix(ring, rows, ncols, [list(r) for r in ident])
+    B = SparseMatrix(ring, rows, ncols, [list(r) for r in ident])
+    C = SparseMatrix(ring, rows, ncols, [list(r) for r in ident])
+    D = SparseMatrix(
+        ring, rows, ncols,
+        [[(ring.rmul(witness[i], witness[i]), i)] for i in range(rows)],
+    )
+    m = rows
+    ccs = CCS(
+        ring=ring, m=m, n=ncols, l=1, t=4, q=2, d=3,
+        s=max(1, (m - 1).bit_length()), s_prime=max(1, (ncols - 1).bit_length()),
+        M=[A, B, C, D], S=[[0, 1, 2], [3]], c=[1, -1],
+    )
+    size = _next_pow2(max((ccs.n - ccs.l - 1) * L, ccs.m))
+    ccs.pad_rows_to(size)
+    return ccs
+
+
 def get_test_dummy_z_split_ntt(ring: Ring, x_len: int, wit_len: int):
     """(one, ones statement, ramp witness) (r1cs.rs:289-306)."""
     one = ring.one()

@@ -18,7 +18,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import modops as mo
@@ -47,6 +47,7 @@ def sharded_commit(ring: Ring, mesh: Mesh, matrix, f):
     @functools.partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,  # outputs are replicated via the modular all-reduce
         in_specs=(P(None, "x"), P("x")),
         out_specs=P(),
     )
@@ -62,7 +63,7 @@ def sharded_crt(ring: Ring, mesh: Mesh, coeffs):
     """Elementwise CRT batched over a sharded witness axis (embarrassingly
     parallel; no collectives)."""
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"))
+    @functools.partial(shard_map, mesh=mesh, check_vma=False, in_specs=(P("x"),), out_specs=P("x"))
     def go(blk):
         return rops.crt(ring, blk)
 
@@ -81,6 +82,7 @@ def sharded_sumcheck_round(ring: Ring, mesh: Mesh, comb, degree: int, mles, cons
     @functools.partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,  # outputs are replicated via the modular all-reduce
         in_specs=(P(None, "x"), P()),
         out_specs=P(),
     )
@@ -105,7 +107,7 @@ def sharded_sumcheck_round(ring: Ring, mesh: Mesh, comb, degree: int, mles, cons
 def sharded_fold(ring: Ring, mesh: Mesh, mles, c):
     """Fix variable 0 across sharded tables (block-local, no collectives)."""
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=(P(None, "x"), P()), out_specs=P(None, "x"))
+    @functools.partial(shard_map, mesh=mesh, check_vma=False, in_specs=(P(None, "x"), P()), out_specs=P(None, "x"))
     def go(mles_blk, c_):
         return mlemod.fold(ring, mles_blk, c_)
 
@@ -126,6 +128,7 @@ def fold_step_core(ring: Ring, mesh: Mesh, matrix, f, mz_mles, eq, c):
     @functools.partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,  # outputs are replicated via the modular all-reduce
         in_specs=(P(None, "x"), P("x"), P(None, "x"), P(None, "x"), P()),
         out_specs=(P(), P(), P(None, "x")),
     )

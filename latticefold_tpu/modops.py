@@ -102,10 +102,18 @@ def _mul32(a, b):
     return hi, lo
 
 
+# Carry/borrow/select are pure bitwise formulas, deliberately avoiding
+# compare+select ops: XLA:CPU 0.9.0's vectorizer miscompiles cmp/select
+# chains over broadcast operands in uint32 pipelines (see
+# tests/test_fusion_audit.py and ARCHITECTURE.md section 7). Masks are
+# full-width uint32 (0 or 0xFFFFFFFF).
+
+
 def _addc(a, b):
-    """(a + b) mod 2^32 with carry-out."""
+    """(a + b) mod 2^32 with carry-out (0/1 uint32, bitwise formula)."""
     s = a + b
-    return s, (s < a).astype(U32)
+    carry = ((a & b) | ((a | b) & ~s)) >> 31
+    return s, carry
 
 
 def _mac(a, b, c, d):
@@ -124,26 +132,39 @@ def _pack(limbs):
     return jnp.stack(limbs, axis=-1)
 
 
-def _geq(a, b, nl):
-    """Lexicographic a >= b over little-endian limb lists (broadcasting ok)."""
-    res = jnp.ones_like(a[0], dtype=jnp.bool_)
-    for i in range(nl):  # low to high; higher limbs override
-        res = jnp.where(a[i] == b[i], res, a[i] > b[i])
-    return res
+def _borrow(a, b, d):
+    """Borrow-out (0/1) of d = a - b, bitwise."""
+    return ((~a & b) | ((~a | b) & d)) >> 31
 
 
 def _sub_limbs(a, b, nl):
-    """a - b (mod 2^(32 nl)) with borrow-out."""
+    """a - b (mod 2^(32 nl)) with borrow-out (0/1 uint32)."""
     out = []
-    borrow = jnp.zeros_like(a[0])
+    borrow = None
     for i in range(nl):
         d1 = a[i] - b[i]
-        br1 = (a[i] < b[i]).astype(U32)
-        d2 = d1 - borrow
-        br2 = (d1 < borrow).astype(U32)
-        out.append(d2)
-        borrow = br1 | br2
+        br1 = _borrow(a[i], b[i], d1)
+        if borrow is None:
+            out.append(d1)
+            borrow = br1
+        else:
+            d2 = d1 - borrow
+            br2 = _borrow(d1, borrow, d2)
+            out.append(d2)
+            borrow = br1 | br2
     return out, borrow
+
+
+def _geq_mask(a, b, nl):
+    """Full-width mask (0/0xFFFFFFFF): a >= b over little-endian limbs."""
+    _, borrow = _sub_limbs(a, b, nl)
+    return jnp.asarray(borrow - 1, dtype=U32)  # borrow 0 -> all-ones
+
+
+def _geq(a, b, nl):
+    """Boolean-style 0/1 uint32: a >= b (kept for call-site compatibility)."""
+    _, borrow = _sub_limbs(a, b, nl)
+    return borrow ^ jnp.uint32(1)
 
 
 def _add_limbs(a, b, nl):
@@ -158,8 +179,23 @@ def _add_limbs(a, b, nl):
     return out, carry
 
 
+def _mask_of(cond):
+    """0/1 (or bool) condition -> full-width uint32 mask."""
+    if cond.dtype == jnp.bool_:
+        cond = cond.astype(U32)
+    return jnp.asarray(0, dtype=U32) - cond
+
+
 def _csel(cond, a, b, nl):
-    return [jnp.where(cond, a[i], b[i]) for i in range(nl)]
+    """Select a where cond else b; cond is 0/1 uint32, bool, or a full mask
+    (0/0xFFFFFFFF). Bitwise: b ^ ((a ^ b) & mask)."""
+    if cond.dtype == jnp.bool_:
+        mask = _mask_of(cond)
+    else:
+        # normalize 0/1 to full mask; full masks are fixed points of 0 - m
+        # only for 0, so detect by range: values are either 0/1 or 0/2^32-1.
+        mask = jnp.asarray(0, dtype=U32) - (cond & jnp.uint32(1)) | cond
+    return [b[i] ^ ((a[i] ^ b[i]) & mask) for i in range(nl)]
 
 
 def _qconst(m: Modulus, like):
@@ -178,7 +214,7 @@ def add(m: Modulus, a, b):
     al, bl = _unpack(a, nl), _unpack(b, nl)
     s, carry = _add_limbs(al, bl, nl)
     q = _qconst(m, a)
-    over = carry.astype(jnp.bool_) | _geq(s, q, nl)
+    over = carry | _geq(s, q, nl)
     red, _ = _sub_limbs(s, q, nl)
     return _pack(_csel(over, red, s, nl))
 
@@ -190,7 +226,7 @@ def sub(m: Modulus, a, b):
     d, borrow = _sub_limbs(al, bl, nl)
     q = _qconst(m, a)
     fixed, _ = _add_limbs(d, q, nl)
-    return _pack(_csel(borrow.astype(jnp.bool_), fixed, d, nl))
+    return _pack(_csel(borrow, fixed, d, nl))
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -228,7 +264,7 @@ def mont_mul(m: Modulus, a, b):
         t[nl + 1] = zero
     res = t[:nl]
     qc = _qconst(m, a)
-    over = t[nl].astype(jnp.bool_) | _geq(res, qc, nl)
+    over = t[nl] | _geq(res, qc, nl)  # t[nl] is 0/1 after CIOS
     red, _ = _sub_limbs(res, qc, nl)
     return _pack(_csel(over, red, res, nl))
 
@@ -314,10 +350,10 @@ def signed_digits(m: Modulus, a, b: int, ndigits: int):
     q = _qconst(m, a)
     qhalf = _int_to_limbs(m.q // 2, nl)
     qh = [jnp.full((), int(qhalf[i]), dtype=U32) for i in range(nl)]
-    neg_mask = ~_geq(qh, al, nl)  # a > q/2  => negative representative
+    neg_mask = _geq(qh, al, nl) ^ jnp.uint32(1)  # a > q/2 => negative representative
     qa, _ = _sub_limbs(q, al, nl)
     mag = _csel(neg_mask, qa, al, nl)
-    sign = jnp.where(neg_mask, jnp.int32(-1), jnp.int32(1))
+    sign = jnp.int32(1) - 2 * neg_mask.astype(jnp.int32)
 
     half = b // 2
 
@@ -325,7 +361,9 @@ def signed_digits(m: Modulus, a, b: int, ndigits: int):
         ml = _unpack(mag_arr, nl)
         quo, rem = _divmod_small(ml, b, nl)
         # half-toward-zero: keep rem if 2*rem <= b else rem-b and bump quotient
-        carry = (2 * rem > b).astype(U32) if b % 2 == 0 else (rem > half).astype(U32)
+        # carry iff rem > b//2 (2*rem > b for even b; rem > half for odd):
+        # underflow of (b//2 - rem) sets the top bit — no cmp/select ops
+        carry = (jnp.uint32(half) - rem) >> 31
         d = rem.astype(jnp.int32) - jnp.int32(b) * carry.astype(jnp.int32)
         nmag, _ = _add_limbs(quo, [carry] + [jnp.zeros_like(carry)] * (nl - 1), nl)
         return _pack(nmag), d

@@ -182,7 +182,13 @@ def set_check(
         mle_list.append(eq[None])
         alphas.append(transcript.get_challenge())
 
-    batched = len(mats) > 1
+    # Deviation from setchk.rs:153 (rc only when >1 MATRIX sets): the
+    # reference's comb early-returns the first matrix term when rc is absent
+    # (setchk.rs:166-183), silently dropping vector sets, while its verifier
+    # still adds their claims — inconsistent for 1-matrix+vector inputs
+    # (never exercised there: rgchk always has k*L >= 2 matrices). We batch
+    # whenever there is more than one set of any kind.
+    batched = len(mats) + len(vecs) > 1
     rc = transcript.get_challenge() if batched else None
 
     mles = jnp.concatenate(mle_list, axis=0)
@@ -310,7 +316,7 @@ def verify(
         alpha = transcript.get_challenge()
         cba.append((c, beta, alpha))
 
-    rc = transcript.get_challenge() if n_mat > 1 else None
+    rc = transcript.get_challenge() if n_mat + n_vec > 1 else None
 
     r, expected = psc.verify(
         ring, transcript, out.nvars, 3, cr.czero(ring), out.sumcheck_proof

@@ -121,7 +121,7 @@ def _redc_wide(m: Modulus, t_limbs):
     res = t[:nl]
     over_limb = t[nl]
     qc = mo._qconst(m, res[0])
-    ge = over_limb.astype(jnp.bool_) | mo._geq(res, qc, nl)
+    ge = over_limb | mo._geq(res, qc, nl)  # over_limb is 0/1 (value < 2q)
     red, _ = mo._sub_limbs(res, qc, nl)
     return jnp.stack(mo._csel(ge, red, res, nl), axis=-1)
 
@@ -238,29 +238,52 @@ def _crt_planes_np(ring: Ring, which: str):
     return host_planes(ring.fq, mont)
 
 
+# Batch chunk for the CRT/ICRT matmuls: the plane product materializes an
+# int32 [d, DA, Nc, DB] intermediate (~d*64*Nc*4 bytes); 2^16 keeps it ~400MB
+# at d=24 — safely inside HBM while staying MXU-saturating.
+_CRT_N_CHUNK = 1 << 16
+
+
 @functools.partial(jax.jit, static_argnums=0)
+def _crt_block(ring: Ring, coeffs):
+    planes = jnp.asarray(_crt_planes_np(ring, "crt"))
+    rhs = jnp.moveaxis(coeffs, 0, 1)  # [d, Nc, nl]
+    out = fq_matmul(ring.fq, planes, rhs)  # [d, Nc, nl]
+    out = jnp.moveaxis(out, 1, 0)
+    return out.reshape(out.shape[0], ring.ncomp, ring.e, ring.nl)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _icrt_block(ring: Ring, x):
+    planes = jnp.asarray(_crt_planes_np(ring, "icrt"))
+    rhs = jnp.moveaxis(x.reshape(x.shape[0], ring.d, ring.nl), 0, 1)
+    out = fq_matmul(ring.fq, planes, rhs)
+    return jnp.moveaxis(out, 1, 0)
+
+
+def _chunked(block_fn, x, chunk: int):
+    N = x.shape[0]
+    if N <= chunk:
+        return block_fn(x)
+    outs = [block_fn(x[i : i + chunk]) for i in range(0, N - N % chunk, chunk)]
+    if N % chunk:
+        outs.append(block_fn(x[N - N % chunk :]))
+    return jnp.concatenate(outs, axis=0)
+
+
 def crt(ring: Ring, coeffs):
     """[N, d, nl] coefficient form -> [N, ncomp, e, nl] NTT form (MXU path).
 
-    Bit-identical to rings.ops.crt (tested); O(d^2) dense transform as one
-    [d, d] x [d, N] byte-plane matmul — MXU-bound instead of VPU-bound.
+    Bit-identical to rings.ops.crt (tested); O(d^2) dense transform as
+    [d, d] x [d, N] byte-plane matmuls — MXU-bound instead of VPU-bound.
+    Large batches are chunked to bound the int32 plane-product intermediate.
     """
-    N = coeffs.shape[0]
-    planes = jnp.asarray(_crt_planes_np(ring, "crt"))
-    rhs = jnp.moveaxis(coeffs, 0, 1)  # [d, N, nl]
-    out = fq_matmul(ring.fq, planes, rhs)  # [d, N, nl]
-    out = jnp.moveaxis(out, 1, 0)
-    return out.reshape(N, ring.ncomp, ring.e, ring.nl)
+    return _chunked(functools.partial(_crt_block, ring), coeffs, _CRT_N_CHUNK)
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def icrt(ring: Ring, x):
     """[N, ncomp, e, nl] NTT form -> [N, d, nl] coefficient form (MXU path)."""
-    N = x.shape[0]
-    planes = jnp.asarray(_crt_planes_np(ring, "icrt"))
-    rhs = jnp.moveaxis(x.reshape(N, ring.d, ring.nl), 0, 1)
-    out = fq_matmul(ring.fq, planes, rhs)
-    return jnp.moveaxis(out, 1, 0)
+    return _chunked(functools.partial(_icrt_block, ring), x, _CRT_N_CHUNK)
 
 
 # ---------------------------------------------------------------------------

@@ -15,3 +15,17 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running protocol tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if config.getoption("-m", default=""):
+        return
+    skip_slow = _pytest.mark.skip(reason="slow; run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -38,16 +38,16 @@ def bootstrap_acc(ring, ccs, cm_i, wit):
     return acc
 
 
-def test_nifs_e2e_goldilocks():
-    ring, ccs, scheme, cm_i, wit = setup()
+def _run_e2e(name, dp):
+    ring, ccs, scheme, cm_i, wit = setup(name, dp)
     acc = bootstrap_acc(ring, ccs, cm_i, wit)
     w_acc = wit
 
     tp = Transcript(ring)
-    folded, w0, proof = nifs.prove(acc, w_acc, cm_i, wit, tp, ccs, scheme, DP_GOLDILOCKS)
+    folded, w0, proof = nifs.prove(acc, w_acc, cm_i, wit, tp, ccs, scheme, dp)
 
     tv = Transcript(ring)
-    folded_v = nifs.verify(acc, cm_i, proof, tv, ccs, DP_GOLDILOCKS)
+    folded_v = nifs.verify(acc, cm_i, proof, tv, ccs, dp)
 
     # prover and verifier agree on the folded accumulator (completeness +
     # transcript consistency)
@@ -60,6 +60,23 @@ def test_nifs_e2e_goldilocks():
 
     # the folded witness opens the folded commitment
     assert w0.commit(scheme) == folded.cm
+
+
+def test_nifs_e2e_goldilocks():
+    _run_e2e("goldilocks", DP_GOLDILOCKS)
+
+
+def test_nifs_e2e_frog():
+    from latticefold_tpu.params import DP_FROG
+
+    _run_e2e("frog", DP_FROG)
+
+
+@pytest.mark.slow
+def test_nifs_e2e_babybear():
+    from latticefold_tpu.params import DP_BABYBEAR
+
+    _run_e2e("babybear", DP_BABYBEAR)
 
 
 def test_nifs_second_fold_and_rejection():

@@ -139,9 +139,12 @@ def test_set_check_bad_rejected():
 # ---------------------------------------------------------------------------
 
 
-def _small_f(n):
+def _small_f(n, big=False):
+    """f = [2 + 3X, 4 + X^2, 0, ...] — coeffs within the k=1 balanced base-8
+    digit range [-4, 4] (the reference's 5-coefficient needs k=2; covered by
+    the slow k=2 test below)."""
     rows = [[0] * RING.d for _ in range(n)]
-    rows[0][0], rows[0][1] = 2, 5
+    rows[0][0], rows[0][1] = 2, 5 if big else 3
     rows[1][0], rows[1][2] = 4, 1
     return ring_vec_from_coeff_rows(rows)
 
@@ -176,6 +179,24 @@ def test_range_check_with_matrix():
     rg = Rg(nvars=13, instances=[inst], dparams=dp)
     ts = PlusTranscript(ring)
     dcom = rg.range_check([m], ts)
+    tv = PlusTranscript(ring)
+    from latticefold_tpu.plus.rgchk import dcom_verify
+
+    dcom_verify(ring, dcom, tv)
+
+
+@pytest.mark.slow
+def test_range_check_k2_reference_shape():
+    """k=2 digits, the reference's 5-coefficient fixture (rgchk.rs:352-389)."""
+    ring = RING
+    n = 1 << 14  # tau length kappa*k*d*d*l = 11264 must fit
+    dp = dparams(k=2)
+    scheme = AjtaiScheme(ring, 1, n, seed=3)
+    f = _small_f(n, big=True)
+    inst = RgInstance.from_f(ring, f, scheme, dp)
+    rg = Rg(nvars=14, instances=[inst], dparams=dp)
+    ts = PlusTranscript(ring)
+    dcom = rg.range_check([], ts)
     tv = PlusTranscript(ring)
     from latticefold_tpu.plus.rgchk import dcom_verify
 
@@ -252,3 +273,40 @@ def test_plus_e2e():
         ring=ring, M=M, transcript=PlusTranscript(ring), params=pparams
     )
     assert verifier.verify(proof)
+
+    # serialization round-trip (canonical bytes)
+    import latticefold_tpu.serialization as ser
+
+    blob = ser.serialize_plus_proof(ring, proof)
+    rt = ser.deserialize_plus_proof(ring, blob)
+    assert ser.serialize_plus_proof(ring, rt) == blob
+
+
+@pytest.mark.slow
+def test_plus_multi_round():
+    """3 accumulation rounds (plus.rs:218-272 test_prove_multi, shrunk):
+    k=4 digits cover the decomposed accumulator coefficients (< B/2)."""
+    ring = RING
+    n = 1 << 15
+    k = 4
+    m = n // k
+    dp = dparams(k=k)
+    sop = ring.d * 128
+    B = estimate_bound(sop, 3, ring.d, k) // 2
+    params = LinParameters(kappa=1, decomp=dp)
+    A0, B0, C0 = (identity_sparse(m) for _ in range(3))
+    A_, B_, C_ = r1cs_decomposed_square(ring, A0, B0, C0, n, B, k)
+    scheme = AjtaiScheme(ring, 1, n, seed=7)
+    z = ring_vec_from_coeff_rows([[1] + [0] * (ring.d - 1) for _ in range(m)])
+    c = ComR1CS.new(ring, [A_, B_, C_], z, 1, B, k, scheme)
+    M = c.x.matrices
+    pparams = PlusParameters(lin=params, B=B)
+    prover = PlusProver(
+        scheme=scheme, M=M, transcript=PlusTranscript(ring), params=pparams
+    )
+    verifier = PlusVerifier(
+        ring=ring, M=M, transcript=PlusTranscript(ring), params=pparams
+    )
+    for _ in range(3):
+        proof = prover.prove([c])
+        assert verifier.verify(proof)
