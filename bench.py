@@ -70,13 +70,15 @@ def main():
     from latticefold_tpu.rings import mxu
 
     planes = scheme._mxu_planes
-    stacked = jnp.stack(bufs)  # [nbufs, n, batch, ...]
+    f0 = bufs[0]
     iters = 32 if on_tpu else 3
 
     @jax.jit
-    def commit_loop(planes, stacked):
+    def commit_loop(planes, f0):
         def body(i, acc):
-            f = jax.lax.dynamic_index_in_dim(stacked, i % nbufs, 0, keepdims=False)
+            # loop-carried 1-bit input perturbation: prevents hoisting the
+            # commit out of the loop without a big per-iteration gather
+            f = f0 ^ (acc[0, 0, 0, 0, 0] & jnp.uint32(1))
             return acc ^ mxu.ajtai_commit(ring, planes, f)
 
         init = jnp.zeros(
@@ -84,9 +86,9 @@ def main():
         )
         return jax.lax.fori_loop(0, iters, body, init)
 
-    np.asarray(commit_loop(planes, stacked))  # compile + warm
+    np.asarray(commit_loop(planes, f0))  # compile + warm
     t0 = time.perf_counter()
-    np.asarray(commit_loop(planes, stacked))
+    np.asarray(commit_loop(planes, f0))
     dt = time.perf_counter() - t0
     commits_per_s = iters * batch / dt
 

@@ -82,16 +82,20 @@ def gadget_recompose(ring: Ring, dp: DecompositionParams, f_ntt):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def make_fhat(ring: Ring, f_coeff_canon, n_pad: int):
-    """[N, d, nl] canonical digits -> f_hat [tau, n_pad, ncomp, e, nl] (mont)."""
+    """[N, d, nl] canonical digits -> f_hat [tau, n_pad, ncomp, nl] (mont).
+
+    Stored COMPACTLY: f-hat values are subfield constants (K-coordinate 0
+    only; arith.rs:273-297), so the extension axis is omitted — an e-fold
+    memory cut on the largest per-witness tables. Expand with
+    poly.mle.expand_subfield where full K form is needed.
+    """
     N = f_coeff_canon.shape[0]
     mont = mo.to_mont(ring.fq, f_coeff_canon)  # [N, d, nl]
     # coeff index j*ncomp + c -> (chunk j, component c)
     chunks = mont.reshape(N, ring.tau, ring.ncomp, ring.nl)
-    chunks = jnp.moveaxis(chunks, 1, 0)  # [tau, N, ncomp, nl]
-    out = jnp.zeros((ring.tau, N, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
-    out = out.at[..., 0, :].set(chunks)
+    out = jnp.moveaxis(chunks, 1, 0)  # [tau, N, ncomp, nl]
     if n_pad > N:
-        pad = jnp.zeros((ring.tau, n_pad - N, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
+        pad = jnp.zeros((ring.tau, n_pad - N, ring.ncomp, ring.nl), dtype=jnp.uint32)
         out = jnp.concatenate([out, pad], axis=1)
     return out
 
@@ -105,7 +109,7 @@ class Witness:
     w_ccs: jnp.ndarray  # [n_w, ncomp, e, nl] NTT mont
     f: jnp.ndarray  # [n_w*L, ncomp, e, nl] NTT mont
     f_coeff: Optional[jnp.ndarray]  # [n_w*L, d, nl] canonical
-    f_hat: jnp.ndarray  # [tau, n_pad, ncomp, e, nl] NTT mont
+    f_hat: jnp.ndarray  # [tau, n_pad, ncomp, nl] subfield-compact (see make_fhat)
 
     @classmethod
     def from_w_ccs(cls, ring: Ring, dp: DecompositionParams, w_ccs, n_pad: int):

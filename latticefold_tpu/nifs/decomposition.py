@@ -142,7 +142,10 @@ def prove(
     y_s = [cm_i.cm - b_sum] + commitments_k1
 
     rs = mlemod.point_to_device(ring, cm_i.r)
-    v_s = [list(rops.to_host(ring, mlemod.evaluate(ring, w.f_hat, rs))) for w in wit_s]
+    v_s = [
+        list(rops.to_host(ring, mlemod.evaluate_subfield(ring, w.f_hat, rs)))
+        for w in wit_s
+    ]
 
     mz_mles = []
     u_s = []

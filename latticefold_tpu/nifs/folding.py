@@ -21,6 +21,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
+from .. import modops as mo
 from .. import sumcheck as sc
 from ..arith.ccs import CCS, Commitment, LCCCS
 from ..arith.witness import Witness
@@ -134,7 +135,22 @@ def _folding_horner(ring: Ring, f_hat_all, mz_all, alphas, zetas):
             mle = rops.ext_mul(ring, cur, ch)
         return mle  # [2K, m, ...]
 
-    fh_h = horner(f_hat_all, alphas, tau)
+    def horner_subfield(stacked, chals, rows):
+        # stacked [2K, rows, m, ncomp, nl] subfield-compact: additions touch
+        # only K-coordinate 0; subfield x K products are broadcast mont_muls
+        ch = chals[:, None, None]
+        m = ring.fq
+        mle = None
+        for row in range(rows - 1, -1, -1):
+            cur_sub = stacked[:, row]  # [2K, m, ncomp, nl]
+            if mle is None:
+                mle = mo.mont_mul(m, cur_sub[..., None, :], ch)
+            else:
+                mle = mle.at[..., 0, :].set(mo.add(m, mle[..., 0, :], cur_sub))
+                mle = rops.ext_mul(ring, mle, ch)
+        return mle  # [2K, m, ncomp, e, nl]
+
+    fh_h = horner_subfield(f_hat_all, alphas, tau)
     mz_h = horner(mz_all, zetas, t)
     return rops.ring_add(ring, fh_h, mz_h)  # [2K, m, ...]
 
@@ -144,7 +160,8 @@ def _folding_combine(ring: Ring, Khalf: int, both, f_hat_all, eq1, eq2, beta_eq)
     combined_1 = rops.ring_sum(ring, both[:Khalf], 0)
     combined_2 = rops.ring_sum(ring, both[Khalf:], 0)
     parts = [eq1, combined_1, eq2, combined_2, beta_eq]
-    fh = f_hat_all.reshape((-1,) + f_hat_all.shape[2:])  # [2K*tau, m, ...]
+    fh_full = mlemod.expand_subfield(ring, f_hat_all)  # [2K, tau, m, c, e, nl]
+    fh = fh_full.reshape((-1,) + fh_full.shape[2:])  # [2K*tau, m, ...]
     return jnp.concatenate([jnp.stack(parts), fh], axis=0)
 
 

@@ -105,7 +105,7 @@ def prove(cm_i: CCCS, wit: Witness, transcript: Transcript, ccs: CCS):
 
     # Step 3: v = f_hat evals, u = Mz evals at r (linearization.rs:126-139)
     rs = mlemod.point_to_device(ring, point_r)
-    v = list(rops.to_host(ring, mlemod.evaluate(ring, wit.f_hat, rs)))
+    v = list(rops.to_host(ring, mlemod.evaluate_subfield(ring, wit.f_hat, rs)))
     u = list(rops.to_host(ring, mlemod.evaluate(ring, Mz, rs)))
 
     transcript.absorb_slice(v)

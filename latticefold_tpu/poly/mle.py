@@ -80,6 +80,33 @@ def _one_elt(ring: Ring):
     return jnp.asarray(_one_elt_np(ring))
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def expand_subfield(ring: Ring, t):
+    """Subfield-compact table [..., ncomp, nl] -> full K form [..., ncomp, e, nl]
+    (value at K-coordinate 0, zeros elsewhere)."""
+    out = jnp.zeros(t.shape[:-1] + (ring.e, t.shape[-1]), dtype=jnp.uint32)
+    return out.at[..., 0, :].set(t)
+
+
+def evaluate_subfield(ring: Ring, tables, rs):
+    """Evaluate subfield-compact MLEs [..., 2^nvars, ncomp, nl] at a K point.
+
+    The first fold multiplies subfield values by K challenges, so the result
+    is K-valued; expansion happens on the fly (memory peak = half the full
+    table)."""
+    if rs.shape[0] == 0:
+        return jnp.squeeze(expand_subfield(ring, tables), axis=-4)
+    ax = tables.ndim - 3  # [..., N, ncomp, nl]
+    idx_even = tuple(slice(None) for _ in range(ax)) + (slice(0, None, 2),)
+    idx_odd = tuple(slice(None) for _ in range(ax)) + (slice(1, None, 2),)
+    a0, a1 = tables[idx_even], tables[idx_odd]
+    diff = mo.sub(ring.fq, a1, a0)
+    # subfield x K: coordinate t of the product is diff * c_t
+    prod = mo.mont_mul(ring.fq, diff[..., None, :], rs[0])
+    first = mo.add(ring.fq, expand_subfield(ring, a0), prod)
+    return evaluate(ring, first, rs[1:])
+
+
 def zeros(ring: Ring, shape) -> jnp.ndarray:
     return jnp.zeros(tuple(shape) + (ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
 

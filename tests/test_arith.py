@@ -59,8 +59,10 @@ def test_fhat_packing_matches_reference_semantics():
     dev = ring.fq.encode(coeffs)
     from latticefold_tpu.arith.witness import make_fhat
 
-    fhat = make_fhat(ring, np.asarray(dev), 2)  # [tau=3, 2, ncomp=8, e=3, nl]
-    host = rops.to_host(ring, fhat)
+    from latticefold_tpu.poly import mle as mlemod
+
+    fhat = make_fhat(ring, np.asarray(dev), 2)  # [tau=3, 2, ncomp=8, nl] compact
+    host = rops.to_host(ring, mlemod.expand_subfield(ring, fhat))
     K = ring.K
     # row 0 of f1: components = consts 1,2,3,0,0,0,0,0
     assert host[0][0] == tuple(K.embed(v) for v in [1, 2, 3, 0, 0, 0, 0, 0])

@@ -86,8 +86,8 @@ def test_fused_folding_round_kernel(name):
 
     ring = get_ring(name)
     rng = np.random.default_rng(11)
-    two_k, tau, b_small = 4, ring.tau, 2
-    m = 16
+    two_k, tau, b_small = 2, ring.tau, 2
+    m = 8
     mles = rand_ring(ring, rng, (5 + two_k * tau, m))
     mus = rand_ring(ring, rng, (two_k,))[:, 0]  # [2K, e, nl] diag coords
     comb = folding._folding_comb(ring, two_k, tau, b_small)

@@ -281,6 +281,25 @@ def test_plus_e2e():
     rt = ser.deserialize_plus_proof(ring, blob)
     assert ser.serialize_plus_proof(ring, rt) == blob
 
+    # corrupted proofs must be rejected
+    import copy
+
+    from latticefold_tpu.plus.decomp import DecompError
+
+    bad = copy.deepcopy(proof)
+    bad.dproof.C[0][0][0] = (bad.dproof.C[0][0][0] + 1) % ring.q
+    v2 = PlusVerifier(ring=ring, M=M, transcript=PlusTranscript(ring), params=pparams)
+    with pytest.raises(DecompError):
+        v2.verify(bad)
+
+    bad2 = copy.deepcopy(proof)
+    bad2.cmproof.evals[0][0].groups[0][2][0] = (
+        bad2.cmproof.evals[0][0].groups[0][2][0] + 1
+    ) % ring.q
+    v3 = PlusVerifier(ring=ring, M=M, transcript=PlusTranscript(ring), params=pparams)
+    with pytest.raises(Exception):
+        v3.verify(bad2)
+
 
 @pytest.mark.slow
 def test_plus_multi_round():
