@@ -65,6 +65,14 @@ def get_lib():
         ]
         lib.lf_sponge_clone.restype = ctypes.c_void_p
         lib.lf_sponge_clone.argtypes = [ctypes.c_void_p]
+        lib.lf_sponge_get_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.lf_sponge_set_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -104,6 +112,21 @@ class NativeSponge:
         out = (ctypes.c_uint64 * n)()
         self._lib.lf_sponge_squeeze(self._h, out, n)
         return list(out)
+
+    def snapshot(self):
+        t = self.cfg.rate + self.cfg.capacity
+        st = (ctypes.c_uint64 * t)()
+        idx = ctypes.c_int()
+        absorbing = ctypes.c_int()
+        self._lib.lf_sponge_get_state(
+            self._h, st, ctypes.byref(idx), ctypes.byref(absorbing)
+        )
+        return list(st), idx.value, bool(absorbing.value)
+
+    def restore(self, state_ints, index: int, absorbing: bool):
+        t = self.cfg.rate + self.cfg.capacity
+        st = (ctypes.c_uint64 * t)(*[int(v) % self.cfg.q for v in state_ints])
+        self._lib.lf_sponge_set_state(self._h, st, index, 1 if absorbing else 0)
 
     def squeeze_bytes(self, n: int) -> bytes:
         cfg = self.cfg

@@ -160,4 +160,20 @@ void lf_sponge_squeeze(void* h, uint64_t* out, int n) {
 }
 
 void* lf_sponge_clone(void* h) { return new Sponge(*(Sponge*)h); }
+
+void lf_sponge_get_state(void* h, uint64_t* out_state, int* out_index,
+                         int* out_absorbing) {
+  Sponge* s = (Sponge*)h;
+  std::memcpy(out_state, s->state.data(), sizeof(uint64_t) * s->t);
+  *out_index = s->index;
+  *out_absorbing = s->absorbing ? 1 : 0;
+}
+
+void lf_sponge_set_state(void* h, const uint64_t* state, int index,
+                         int absorbing) {
+  Sponge* s = (Sponge*)h;
+  std::memcpy(s->state.data(), state, sizeof(uint64_t) * s->t);
+  s->index = index;
+  s->absorbing = absorbing != 0;
+}
 }

@@ -116,7 +116,149 @@ def scalar_to_ring_coeffs(ring: Ring, v: int) -> list:
     return cr.cconst(ring, v)
 
 
+def _absorb_rows(ring: Ring, scalar: bool, evs):
+    """Device round message -> coefficient-form absorb rows [degree+1, d, nl].
+
+    Scalar values v become the constant polynomial [v, 0, ...] (cconst);
+    ring values are ICRT'd on device (same order as Ring.icrt_host)."""
+    if scalar:
+        rows = jnp.zeros((evs.shape[0], ring.d, ring.nl), dtype=jnp.uint32)
+        return rows.at[:, 0, :].set(evs)
+    return rops.icrt(ring, evs)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_prove_fn(comb: CombFn, nvars: int, degree: int, idx0: int, abs0: bool):
+    """Whole-sumcheck LF+ prover with a device-resident transcript: one XLA
+    program for all rounds (see latticefold_tpu.sumcheck._device_prove_fn for
+    the duplex trace-time bookkeeping argument; here a challenge is ONE base
+    field element, so rounds >= 1 start at (absorbing, index) = ghost-derived
+    from [squeeze 1; absorb 1])."""
+    from ..transcript import device as dtr
+
+    ring = comb.ring
+    scalar = comb.scalar
+    n_unroll = max(1, nvars - _PAD_THRESHOLD.bit_length() + 1)
+    n_unroll = min(n_unroll, nvars)
+    n_scan = nvars - n_unroll
+
+    g = dtr.GhostSponge(ring, 0, True)
+    g.squeeze(1)
+    g.absorb(1)
+    idx_round = g.index  # = 1
+
+    def round_msg(cur, consts, mask=None):
+        a0, a1 = cur[:, 0::2], cur[:, 1::2]
+
+        def msum(vals):
+            if mask is not None:
+                vals = jnp.where(mask, vals, jnp.uint32(0))
+            return mo.sum_mod(ring.fq, vals, 0)
+
+        evs = [msum(comb.fn(a0, consts)), msum(comb.fn(a1, consts))]
+        if degree >= 2:
+            step = mo.sub(ring.fq, a1, a0)
+            c = a1
+            for _ in range(2, degree + 1):
+                c = mo.add(ring.fq, c, step)
+                evs.append(msum(comb.fn(c, consts)))
+        return jnp.stack(evs)
+
+    @jax.jit
+    def run(mles, consts, state0):
+        sp = dtr.TraceSponge(ring, state0, idx0, abs0)
+        cur = mles
+        rows_list, chal_list = [], []
+        for _ in range(n_unroll):
+            evs = round_msg(cur, consts)
+            rows = _absorb_rows(ring, scalar, evs)
+            sp.absorb(rows.reshape(-1, ring.nl))
+            c = sp.squeeze(1)
+            sp.absorb(c)
+            rows_list.append(rows)
+            chal_list.append(c[0])
+            cur = _fold(ring, scalar, cur, c[0])
+
+        if n_scan:
+            assert sp.absorbing and sp.index == idx_round
+            S = cur.shape[1]
+            value_ndim = 1 if scalar else 3
+            masks = np.zeros((n_scan, S // 2) + (1,) * value_ndim, dtype=bool)
+            for r in range(n_scan):
+                masks[r, : (S >> (r + 1))] = True
+
+            def body(carry, mask):
+                st, buf = carry
+                spr = dtr.TraceSponge(ring, st, idx_round, True)
+                evs = round_msg(buf, consts, mask)
+                rows = _absorb_rows(ring, scalar, evs)
+                spr.absorb(rows.reshape(-1, ring.nl))
+                c = spr.squeeze(1)
+                spr.absorb(c)
+                folded = _fold(ring, scalar, buf, c[0])
+                folded = jnp.where(mask, folded, jnp.uint32(0))
+                buf = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+                return (spr.state, buf), (rows, c[0])
+
+            (state, cur), (rows_sc, chal_sc) = jax.lax.scan(
+                body, (sp.state, cur), jnp.asarray(masks)
+            )
+            all_rows = jnp.concatenate([jnp.stack(rows_list), rows_sc])
+            chals = jnp.concatenate([jnp.stack(chal_list), chal_sc])
+            finals = cur[:, 0]
+        else:
+            state = sp.state
+            all_rows = jnp.stack(rows_list)
+            chals = jnp.stack(chal_list)
+            finals = jnp.squeeze(cur, axis=1)
+        return all_rows, chals, finals, state
+
+    return run
+
+
 def prove(
+    ring: Ring,
+    transcript: PlusTranscript,
+    mles,
+    nvars: int,
+    degree: int,
+    comb: CombFn,
+    comb_consts=(),
+):
+    """Scalar-challenge sumcheck prover (device-resident transcript; one
+    dispatch for all rounds).
+
+    ``mles``: [nm, 2^nvars, ...]; scalar mode has value dims (nl,), ring mode
+    (ncomp, e, nl). Returns (proof, challenges (ints), final_vals device
+    [nm, ...])."""
+    from ..transcript import device as dtr
+
+    fq = ring.fq
+    assert mles.shape[1] == 1 << nvars
+    transcript.absorb_coeffs(cr.cconst(ring, nvars))
+    transcript.absorb_coeffs(cr.cconst(ring, degree))
+    state0, idx0, abs0 = dtr.export_state(ring, transcript)
+    fn = _device_prove_fn(comb, nvars, degree, idx0, abs0)
+    all_rows, chals, finals, state1 = fn(mles, comb_consts, state0)
+
+    g = dtr.GhostSponge(ring, idx0, abs0)
+    for _ in range(nvars):
+        g.absorb((degree + 1) * ring.d)
+        g.squeeze(1)
+        g.absorb(1)
+    dtr.import_state(ring, transcript, state1, g.index, g.absorbing)
+
+    rows_host = fq.decode(np.asarray(mo.from_mont(fq, all_rows)))  # [nvars, deg+1, d]
+    round_evals = [
+        [[int(v) for v in rows_host[r, i]] for i in range(degree + 1)]
+        for r in range(nvars)
+    ]
+    chal_host = fq.decode(np.asarray(mo.from_mont(fq, chals)))
+    challenges = [int(v) for v in chal_host]
+    return SumcheckProof(round_evals), challenges, finals
+
+
+def prove_host(
     ring: Ring,
     transcript: PlusTranscript,
     mles,
@@ -126,13 +268,10 @@ def prove(
     comb_consts=(),
     to_coeffs=None,
 ):
-    """Scalar-challenge sumcheck prover.
+    """Host-transcript reference prover (kept for differential testing).
 
-    ``mles``: [nm, 2^nvars, ...]; scalar mode has value dims (nl,), ring mode
-    (ncomp, e, nl). ``to_coeffs`` converts one device round value to the
-    coefficient list to absorb (defaults by mode). Returns
-    (proof, challenges (ints), final_vals device [nm, ...]).
-    """
+    ``to_coeffs`` converts one device round value to the coefficient list to
+    absorb (defaults by mode)."""
     fq = ring.fq
     scalar = comb.scalar
     value_ndim = 1 if scalar else 3

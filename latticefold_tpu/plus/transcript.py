@@ -67,3 +67,10 @@ class PlusTranscript:
 
     def short_challenges(self, n: int, lam: int = 128) -> List[List[int]]:
         return [self.short_challenge(lam) for _ in range(n)]
+
+    # -- device bridging ------------------------------------------------------
+    def snapshot_state(self):
+        return self._inner.snapshot_state()
+
+    def restore_state(self, state_ints, index: int, absorbing: bool):
+        self._inner.restore_state(state_ints, index, absorbing)

@@ -27,6 +27,7 @@ from .poly import mle as mlemod
 from .rings import ops as rops
 from .rings.construct import Ring
 from .transcript import Transcript
+from .transcript import device as dtr
 
 
 class CombFn:
@@ -122,6 +123,117 @@ class SumcheckProof:
     round_evals: List[List[tuple]]  # nvars rounds x (degree+1) host ring elements
 
 
+def _round_evs(ring: Ring, comb: CombFn, degree: int, cur, consts, mask=None):
+    """One round's prover message [degree+1, ncomp, e, nl] from tables ``cur``
+    [nm, S, ...]; with ``mask`` [S/2, 1, 1, 1] only the valid pair prefix
+    contributes (padded-buffer mode)."""
+    a0 = cur[:, 0::2]
+    a1 = cur[:, 1::2]
+
+    def msum(vals):
+        if mask is not None:
+            vals = jnp.where(mask, vals, jnp.uint32(0))
+        return rops.ring_sum(ring, vals, 0)
+
+    evs = [msum(comb.fn(a0, consts)), msum(comb.fn(a1, consts))]
+    if degree >= 2:
+        step = rops.ring_sub(ring, a1, a0)
+        c = a1
+        for _ in range(2, degree + 1):
+            c = rops.ring_add(ring, c, step)
+            evs.append(msum(comb.fn(c, consts)))
+    return jnp.stack(evs)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_prove_fn(comb: CombFn, nvars: int, degree: int, idx0: int, abs0: bool):
+    """Whole-sumcheck prover with a device-resident Fiat-Shamir transcript:
+    ONE XLA program for all rounds (zero per-round host syncs).
+
+    Rounds with table size > _PAD_THRESHOLD are unrolled at their natural
+    (shrinking) shapes; the tail runs as a lax.scan over a fixed padded
+    buffer. The scan is valid because every round >= 1 starts at the same
+    duplex bookkeeping (absorbing, index=e): each round ends with a
+    squeeze->absorb(e) transition, which permutes and rewinds the index.
+    """
+    ring = comb.ring
+
+    # unroll while size > threshold; scanned rounds must start at round >= 1
+    n_unroll = max(1, nvars - _PAD_THRESHOLD.bit_length() + 1)
+    n_unroll = min(n_unroll, nvars)
+    n_scan = nvars - n_unroll
+
+    # uniform round-entry bookkeeping for rounds >= 1: every round ends with
+    # squeeze(e) -> absorb(e) -> absorb(d), and the squeeze rewinds the index,
+    # so the entry index is independent of history.
+    g = dtr.GhostSponge(ring, 0, True)
+    g.squeeze(ring.e)
+    g.absorb(ring.e)
+    g.absorb(ring.d)
+    idx_round = g.index
+
+    @jax.jit
+    def run(mles, consts, state0):
+        sp = dtr.TraceSponge(ring, state0, idx0, abs0)
+        cur = mles
+        evs_list, chal_list = [], []
+        for _ in range(n_unroll):
+            evs = _round_evs(ring, comb, degree, cur, consts)
+            sp.absorb_ring(evs)
+            c = sp.get_challenge()
+            sp.absorb_field_element(c)
+            evs_list.append(evs)
+            chal_list.append(c)
+            cur = mlemod.fold(ring, cur, c)
+
+        if n_scan:
+            assert sp.absorbing and sp.index == idx_round, (
+                "scanned rounds assume the uniform round-entry duplex state"
+            )
+            S = cur.shape[1]
+            masks = np.zeros((n_scan, S // 2, 1, 1, 1), dtype=bool)
+            for r in range(n_scan):
+                masks[r, : (S >> (r + 1))] = True
+
+            def body(carry, mask):
+                st, buf = carry
+                spr = dtr.TraceSponge(ring, st, idx_round, True)
+                evs = _round_evs(ring, comb, degree, buf, consts, mask)
+                spr.absorb_ring(evs)
+                c = spr.get_challenge()
+                spr.absorb_field_element(c)
+                folded = mlemod.fold(ring, buf, c)
+                folded = jnp.where(mask, folded, jnp.uint32(0))
+                buf = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+                return (spr.state, buf), (evs, c)
+
+            (state, cur), (evs_sc, chal_sc) = jax.lax.scan(
+                body, (sp.state, cur), jnp.asarray(masks)
+            )
+            evals = jnp.concatenate([jnp.stack(evs_list), evs_sc])
+            chals = jnp.concatenate([jnp.stack(chal_list), chal_sc])
+            finals = cur[:, 0]
+        else:
+            state = sp.state
+            evals = jnp.stack(evs_list)
+            chals = jnp.stack(chal_list)
+            finals = jnp.squeeze(cur, axis=1)
+        return evals, chals, finals, state
+
+    return run
+
+
+def _ghost_final(ring: Ring, nvars: int, degree: int, idx0: int, abs0: bool):
+    """Final (index, absorbing) of the device sumcheck's sponge."""
+    g = dtr.GhostSponge(ring, idx0, abs0)
+    for _ in range(nvars):
+        g.absorb((degree + 1) * ring.d)
+        g.squeeze(ring.e)
+        g.absorb(ring.e)
+        g.absorb(ring.d)
+    return g.index, g.absorbing
+
+
 def prove(
     ring: Ring,
     transcript: Transcript,
@@ -131,12 +243,37 @@ def prove(
     comb: CombFn,
     comb_consts=(),
 ):
-    """Run the sumcheck prover.
+    """Run the sumcheck prover (device-resident transcript; one dispatch).
 
     ``mles``: [nm, 2^nvars, ncomp, e, nl]. Returns
     (SumcheckProof, challenges (K elts), final_vals [nm, ncomp, e, nl]) where
     final_vals[i] = mle_i(r) — the fully folded tables (free evaluation claims).
     """
+    assert mles.shape[1] == 1 << nvars
+    transcript.absorb(ring.embed_int(nvars))
+    transcript.absorb(ring.embed_int(degree))
+    state0, idx0, abs0 = dtr.export_state(ring, transcript)
+    fn = _device_prove_fn(comb, nvars, degree, idx0, abs0)
+    evals, chals, finals, state1 = fn(mles, comb_consts, state0)
+    idx1, abs1 = _ghost_final(ring, nvars, degree, idx0, abs0)
+    dtr.import_state(ring, transcript, state1, idx1, abs1)
+    evs_host = rops.to_host(ring, evals)  # [nvars, degree+1] object array
+    round_evals = [list(evs_host[r]) for r in range(nvars)]
+    challenges = [tuple(c) for c in dtr.k_from_device(ring, chals)]
+    return SumcheckProof(round_evals), challenges, finals
+
+
+def prove_host(
+    ring: Ring,
+    transcript: Transcript,
+    mles,
+    nvars: int,
+    degree: int,
+    comb: CombFn,
+    comb_consts=(),
+):
+    """Host-transcript reference prover (3 host syncs per round); kept for
+    differential testing against the device-transcript path."""
     assert mles.shape[1] == 1 << nvars
     transcript.absorb(ring.embed_int(nvars))
     transcript.absorb(ring.embed_int(degree))

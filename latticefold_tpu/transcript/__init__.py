@@ -114,3 +114,20 @@ class Transcript:
 
     def get_short_challenges(self, n: int):
         return [self.get_short_challenge() for _ in range(n)]
+
+    # -- device bridging ------------------------------------------------------
+    def snapshot_state(self):
+        """(state ints [t], index, absorbing) — for transcript.device export."""
+        sp = self.sponge
+        if hasattr(sp, "snapshot"):
+            return sp.snapshot()
+        return list(sp.state), sp.index, sp.mode_absorbing
+
+    def restore_state(self, state_ints, index: int, absorbing: bool):
+        sp = self.sponge
+        if hasattr(sp, "restore"):
+            sp.restore(state_ints, index, absorbing)
+        else:
+            sp.state = list(state_ints)
+            sp.index = index
+            sp.mode_absorbing = absorbing

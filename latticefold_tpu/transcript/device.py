@@ -1,0 +1,251 @@
+"""Device-resident Poseidon sponge (JAX/XLA path).
+
+Bit-identical to the host sponge (`transcript.poseidon.PoseidonSponge` /
+the native C++ engine): same capacity-first state layout, lazy-permutation
+duplex mechanics and round structure as the ark sponge used by the reference
+transcript (/root/reference/crates/latticefold/src/transcript/poseidon.rs).
+
+The crucial design point: the duplex *index/mode bookkeeping happens at trace
+time* (Python ints), because the absorb/squeeze schedule of a sumcheck is
+static once (nvars, degree, ring) are fixed. That lets the entire Fiat-Shamir
+loop of a sumcheck compile into ONE XLA program — zero host synchronization
+per round — which removes the dominant cost of the fold prover over a
+tunneled TPU backend (>= 35 blocking host<->device round trips per NIFS fold
+with the host transcript).
+
+State is kept in the Montgomery domain ([t, nl] uint32 limbs) so absorbing
+device ring elements (already Montgomery) is a plain modular add, and the
+squeezed challenge coordinates come out exactly in the [e, nl] layout that
+`poly.mle.fold` consumes. ARK/MDS tables are pre-encoded Montgomery
+constants; x^7 s-box = 4 Montgomery mults; the full/partial lane select uses
+the same bitwise-mask select as modops (no cmp/select chains — see
+tests/test_fusion_audit.py for the XLA:CPU hazard that rules those out).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from ..rings.construct import Ring
+from .poseidon import get_config
+
+
+# ---------------------------------------------------------------------------
+# permutation
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_consts(ring: Ring):
+    """Montgomery-encoded ARK [rounds, t, nl] / MDS [t, t, nl] numpy constants
+    plus a full-round mask [rounds] (0 or 0xFFFFFFFF per round)."""
+    cfg = get_config(ring.q)
+    assert cfg.alpha == 7, "device s-box chain is specialized to alpha=7"
+    fq = ring.fq
+    R = 1 << (32 * fq.nl)
+    q = ring.q
+    ark = fq.encode(np.array([[(v * R) % q for v in row] for row in cfg.ark], dtype=object))
+    mds = fq.encode(np.array([[(v * R) % q for v in row] for row in cfg.mds], dtype=object))
+    half = cfg.full_rounds // 2
+    total = cfg.full_rounds + cfg.partial_rounds
+    full_mask = np.array(
+        [
+            0xFFFFFFFF if (r < half or r >= half + cfg.partial_rounds) else 0
+            for r in range(total)
+        ],
+        dtype=np.uint32,
+    )
+    return ark, mds, full_mask, cfg
+
+
+def _pow7(fq, x):
+    x2 = mo.mont_mul(fq, x, x)
+    x3 = mo.mont_mul(fq, x2, x)
+    x6 = mo.mont_mul(fq, x3, x3)
+    return mo.mont_mul(fq, x6, x)
+
+
+def permute(ring: Ring, state):
+    """One Poseidon permutation; ``state`` [t, nl] Montgomery limbs."""
+    ark, mds, full_mask, _ = _perm_consts(ring)
+    fq = ring.fq
+    mds_c = jnp.asarray(mds)
+
+    def body(st, inp):
+        ark_row, fmask = inp
+        s = mo.add(fq, st, ark_row)
+        s7 = _pow7(fq, s)
+        # partial round applies the s-box to lane 0 only; bitwise select
+        # between the all-lanes and lane-0-only variants (full-width mask)
+        s_part = jnp.concatenate([s7[:1], s[1:]], axis=0)
+        sel = s_part ^ ((s7 ^ s_part) & fmask)
+        prod = mo.mont_mul(fq, mds_c, sel[None, :, :])  # [t, t, nl]
+        return mo.sum_mod(fq, prod, 1), None
+
+    st, _ = jax.lax.scan(body, state, (jnp.asarray(ark), jnp.asarray(full_mask)))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# trace-time duplex sponge
+# ---------------------------------------------------------------------------
+
+
+class TraceSponge:
+    """Duplex sponge for use *inside a jit trace*.
+
+    ``state`` is a traced [t, nl] array; ``index`` / ``absorbing`` are Python
+    values updated during tracing, so every slice offset below is a
+    compile-time constant. The mechanics mirror the host sponge exactly
+    (poseidon.py:70-115), including index==rate resting states.
+    """
+
+    def __init__(self, ring: Ring, state, index: int, absorbing: bool):
+        _, _, _, cfg = _perm_consts(ring)
+        self.ring = ring
+        self.rate = cfg.rate
+        self.cap = cfg.capacity
+        self.state = state
+        self.index = index
+        self.absorbing = absorbing
+
+    def _permute(self):
+        self.state = permute(self.ring, self.state)
+
+    def _add_at(self, chunk, idx: int):
+        k = chunk.shape[0]
+        lo = self.cap + idx
+        seg = mo.add(self.ring.fq, self.state[lo : lo + k], chunk)
+        self.state = jnp.concatenate(
+            [self.state[:lo], seg, self.state[lo + k :]], axis=0
+        )
+
+    def absorb(self, vals):
+        """Absorb ``vals`` [n, nl] (Montgomery field elements), n static."""
+        n = int(vals.shape[0])
+        if n == 0:
+            return
+        if not self.absorbing:
+            self._permute()
+            self.absorbing, self.index = True, 0
+        pos = 0
+        while True:
+            if self.index + (n - pos) <= self.rate:
+                self._add_at(vals[pos:], self.index)
+                self.index += n - pos
+                return
+            num = self.rate - self.index
+            if num:
+                self._add_at(vals[pos : pos + num], self.index)
+            self._permute()
+            pos += num
+            self.index = 0
+
+    def squeeze(self, n: int):
+        """Squeeze n field elements -> [n, nl] (Montgomery)."""
+        if self.absorbing:
+            self._permute()
+            self.absorbing, self.index = False, 0
+        out = []
+        pos = 0
+        while True:
+            if self.index + (n - pos) <= self.rate:
+                lo = self.cap + self.index
+                out.append(self.state[lo : lo + (n - pos)])
+                self.index += n - pos
+                break
+            num = self.rate - self.index
+            if num:
+                lo = self.cap + self.index
+                out.append(self.state[lo : lo + num])
+            self._permute()
+            pos += num
+            self.index = 0
+        return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
+
+    # -- transcript-level ops (match transcript/__init__.py) ----------------
+    def absorb_ring(self, elts):
+        """Absorb ring elements [..., ncomp, e, nl]: component-major flatten,
+        identical to Ring.flatten + host absorb order."""
+        self.absorb(elts.reshape((-1, elts.shape[-1])))
+
+    def get_challenge(self):
+        """Squeeze a K element [e, nl] and re-absorb it (poseidon.rs:51-61)."""
+        c = self.squeeze(self.ring.e)
+        self.absorb(c)
+        return c
+
+    def absorb_field_element(self, c):
+        """Absorb a K element [e, nl] as its diagonal ring embedding
+        (transcript.rs:20-22): the e coordinates repeated ncomp times."""
+        self.absorb_ring(jnp.broadcast_to(c, (self.ring.ncomp,) + c.shape))
+
+
+class GhostSponge:
+    """Index/mode-only duplex simulator: computes the (index, absorbing)
+    trajectory of a static absorb/squeeze schedule without touching arrays.
+    Used to know a TraceSponge's final bookkeeping outside the trace."""
+
+    def __init__(self, ring: Ring, index: int, absorbing: bool):
+        _, _, _, cfg = _perm_consts(ring)
+        self.rate = cfg.rate
+        self.index = index
+        self.absorbing = absorbing
+
+    def absorb(self, n: int):
+        if n == 0:
+            return
+        if not self.absorbing:
+            self.absorbing, self.index = True, 0
+        while self.index + n > self.rate:
+            n -= self.rate - self.index
+            self.index = 0
+        self.index += n
+
+    def squeeze(self, n: int):
+        if self.absorbing:
+            self.absorbing, self.index = False, 0
+        while self.index + n > self.rate:
+            n -= self.rate - self.index
+            self.index = 0
+        self.index += n
+
+
+# ---------------------------------------------------------------------------
+# host <-> device sponge state bridging
+# ---------------------------------------------------------------------------
+
+
+def export_state(ring: Ring, transcript) -> Tuple[jnp.ndarray, int, bool]:
+    """Snapshot the host transcript's sponge into ([t, nl] Montgomery device
+    array, index, absorbing)."""
+    ints, index, absorbing = transcript.snapshot_state()
+    R = 1 << (32 * ring.nl)
+    vals = np.array([(int(s) * R) % ring.q for s in ints], dtype=object)
+    return jnp.asarray(ring.fq.encode(vals)), index, absorbing
+
+
+def import_state(ring: Ring, transcript, state_dev, index: int, absorbing: bool):
+    """Write a device sponge state back into the host transcript."""
+    can = mo.from_mont(ring.fq, state_dev)
+    ints = [int(v) for v in ring.fq.decode(np.asarray(can))]
+    transcript.restore_state(ints, index, absorbing)
+
+
+def k_from_device(ring: Ring, arr) -> List[tuple]:
+    """[..., e, nl] Montgomery K coords -> host K tuples (nested lists)."""
+    can = mo.from_mont(ring.fq, arr)
+    ints = ring.fq.decode(np.asarray(can))  # [..., e] object
+
+    def conv(a):
+        if a.ndim == 1:
+            return tuple(int(v) for v in a)
+        return [conv(a[i]) for i in range(a.shape[0])]
+
+    return conv(ints)
