@@ -1,0 +1,167 @@
+"""Experiment: Ajtai commit rhs-preparation layout variants (round 2).
+
+Compares the round-1 ajtai_commit against layout variants that avoid
+transposing arrays whose trailing dim is tiny (nl=2 lanes), plus a batch-size
+sweep. JSON lines out.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def loop_time(fn, first, iters=16):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def run(first):
+        def body(i, carry):
+            bit, _ = carry
+            f = first ^ bit.astype(first.dtype)
+            out = fn(f)
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = jnp.uint32(0)
+            for leaf in leaves:
+                acc = acc ^ jnp.reshape(leaf, (-1,))[0].astype(jnp.uint32)
+            return (acc & jnp.uint32(1), acc)
+
+        return jax.lax.fori_loop(0, iters, body, (jnp.uint32(0), jnp.uint32(0)))
+
+    np.asarray(run(first)[1])
+    t0 = time.perf_counter()
+    np.asarray(run(first)[1])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latticefold_tpu import modops as mo
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.rings import mxu
+    from latticefold_tpu.rings.construct import get_ring
+
+    ring = get_ring("goldilocks")
+    on_tpu = jax.default_backend() != "cpu"
+    kappa, n = (9, 1 << 15) if on_tpu else (4, 1 << 10)
+    e, ncomp, nl = ring.e, ring.ncomp, ring.nl
+    scheme = AjtaiScheme(ring, kappa, n, seed=1)
+    planes = scheme._mxu_planes  # [c, kappa*e, n, 4nl]
+
+    rng = np.random.default_rng(0)
+
+    def rand_f(batch):
+        raw = rng.integers(0, 1 << 32, size=(n, batch, ncomp, e, nl), dtype=np.uint64)
+        return jnp.asarray((raw % np.uint64(0x7FFFFFFF)).astype(np.uint32))
+
+    # ---- variant 1: bytes-first, transpose merged trailing dims -----------
+    def rhs_v1(f):
+        batch = f.shape[1]
+        b4 = jnp.stack([(f >> (8 * b)).astype(jnp.uint8) for b in range(4)], axis=-1)
+        b4 = b4.reshape(n, batch, ncomp, e * nl * 4)
+        b4 = jnp.transpose(b4, (2, 0, 1, 3))  # [c, n, Nb, e*4nl]
+        return b4.reshape(ncomp, n, batch * e, 4 * nl)  # cols = (Nb, e)-major
+
+    def commit_v1(f):
+        batch = f.shape[1]
+        rhs_planes = rhs_v1(f)
+        lo, hi = mxu._plane_dot(planes, rhs_planes)
+        u = mxu._group_positions(lo, hi, 4 * nl, 4 * nl)
+        t_limbs = mxu._carry_pack(u, 2 * nl + 1)
+        P = mxu._redc_wide(ring.fq, t_limbs)  # [c, kappa*e, Nb*e, nl]
+        P = P.reshape(ncomp, kappa, e, batch, e, nl)
+        conv = [None] * (2 * e - 1)
+        for i in range(e):
+            for j in range(e):
+                term = P[:, :, i, :, j]
+                s = i + j
+                conv[s] = term if conv[s] is None else mo.add(ring.fq, conv[s], term)
+        out = conv[:e]
+        if e > 1:
+            red = jnp.asarray(mxu._red_rows_np(ring))
+            for k in range(e - 1):
+                prod = mo.mont_mul(ring.fq, conv[e + k][..., None, :], red[k])
+                for t in range(e):
+                    out[t] = mo.add(ring.fq, out[t], prod[..., t, :])
+        res = jnp.stack(out, axis=-2)  # [c, kappa, Nb, e, nl]
+        return jnp.transpose(res, (1, 2, 0, 3, 4))
+
+    # ---- variant 2: transpose merged, planes after ------------------------
+    def rhs_v2(f):
+        batch = f.shape[1]
+        fm = f.reshape(n, batch, ncomp, e * nl)
+        ft = jnp.transpose(fm, (2, 0, 1, 3))  # [c, n, Nb, e*nl]
+        ft = ft.reshape(ncomp, n, batch * e, nl)
+        return mxu.to_planes(ft)
+
+    def commit_v2(f):
+        batch = f.shape[1]
+        rhs_planes = rhs_v2(f)
+        lo, hi = mxu._plane_dot(planes, rhs_planes)
+        u = mxu._group_positions(lo, hi, 4 * nl, 4 * nl)
+        t_limbs = mxu._carry_pack(u, 2 * nl + 1)
+        P = mxu._redc_wide(ring.fq, t_limbs)
+        P = P.reshape(ncomp, kappa, e, batch, e, nl)
+        conv = [None] * (2 * e - 1)
+        for i in range(e):
+            for j in range(e):
+                term = P[:, :, i, :, j]
+                s = i + j
+                conv[s] = term if conv[s] is None else mo.add(ring.fq, conv[s], term)
+        out = conv[:e]
+        if e > 1:
+            red = jnp.asarray(mxu._red_rows_np(ring))
+            for k in range(e - 1):
+                prod = mo.mont_mul(ring.fq, conv[e + k][..., None, :], red[k])
+                for t in range(e):
+                    out[t] = mo.add(ring.fq, out[t], prod[..., t, :])
+        res = jnp.stack(out, axis=-2)
+        return jnp.transpose(res, (1, 2, 0, 3, 4))
+
+    # correctness cross-check vs round-1 kernel (CPU or TPU)
+    f16 = rand_f(4)
+    ref = np.asarray(mxu.ajtai_commit(ring, planes, f16))
+    got1 = np.asarray(jax.jit(commit_v1)(f16))
+    got2 = np.asarray(jax.jit(commit_v2)(f16))
+    _emit(check="v1_matches", ok=bool((ref == got1).all()))
+    _emit(check="v2_matches", ok=bool((ref == got2).all()))
+
+    batches = (16, 32, 64) if on_tpu else (4,)
+    for batch in batches:
+        f = rand_f(batch)
+        t0 = loop_time(lambda x: mxu.ajtai_commit(ring, planes, x), f)
+        t1 = loop_time(jax.jit(commit_v1), f)
+        t2 = loop_time(jax.jit(commit_v2), f)
+        _emit(exp="commit_variants", batch=batch, n=n, kappa=kappa,
+              v0_ms=t0 * 1e3, v1_ms=t1 * 1e3, v2_ms=t2 * 1e3,
+              v0_commits_per_s=batch / t0, v1_commits_per_s=batch / t1,
+              v2_commits_per_s=batch / t2)
+
+    # rhs-prep alone
+    f = rand_f(batches[-1])
+    ta = loop_time(jax.jit(rhs_v1), f)
+    tb = loop_time(jax.jit(rhs_v2), f)
+    _emit(exp="rhs_prep", batch=batches[-1], v1_ms=ta * 1e3, v2_ms=tb * 1e3)
+
+
+if __name__ == "__main__":
+    main()

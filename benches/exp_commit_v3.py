@@ -1,0 +1,154 @@
+"""Experiment: Ajtai commit with dot_general absorbing the rhs transpose.
+
+v3: byte-split f elementwise (natural layout [n, Nb, c, e, nl, 4]), then one
+dot_general contracting over n with batch dim c taken IN PLACE (axis 2) —
+XLA folds the relayout into matmul tile loads instead of a standalone
+transpose pass. Epilogue regrouped accordingly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def loop_time(fn, first, iters=16):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def run(first):
+        def body(i, carry):
+            bit, _ = carry
+            f = first ^ bit.astype(first.dtype)
+            out = fn(f)
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = jnp.uint32(0)
+            for leaf in leaves:
+                acc = acc ^ jnp.reshape(leaf, (-1,))[0].astype(jnp.uint32)
+            return (acc & jnp.uint32(1), acc)
+
+        return jax.lax.fori_loop(0, iters, body, (jnp.uint32(0), jnp.uint32(0)))
+
+    np.asarray(run(first)[1])
+    t0 = time.perf_counter()
+    np.asarray(run(first)[1])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latticefold_tpu import modops as mo
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.rings import mxu
+    from latticefold_tpu.rings.construct import get_ring
+
+    ring = get_ring("goldilocks")
+    on_tpu = jax.default_backend() != "cpu"
+    kappa, n = (9, 1 << 15) if on_tpu else (4, 1 << 10)
+    e, ncomp, nl = ring.e, ring.ncomp, ring.nl
+    DA = DB = 4 * nl
+    scheme = AjtaiScheme(ring, kappa, n, seed=1)
+    planes = scheme._mxu_planes  # [c, kappa*e, n, 4nl]
+    M = kappa * e
+    # lhs in [c, M*DA, n] once (precompute layout)
+    lhsT = jnp.reshape(jnp.moveaxis(planes, -1, -2), (ncomp, M * DA, n))
+
+    rng = np.random.default_rng(0)
+
+    def rand_f(batch):
+        raw = rng.integers(0, 1 << 32, size=(n, batch, ncomp, e, nl), dtype=np.uint64)
+        return jnp.asarray((raw % np.uint64(0x7FFFFFFF)).astype(np.uint32))
+
+    red_np = mxu._red_rows_np(ring)
+
+    def commit_v3(f):
+        batch = f.shape[1]
+        b4 = jnp.stack([(f >> jnp.uint32(8 * b)).astype(jnp.uint8) for b in range(4)], axis=-1)
+        # [n, Nb, c, e, nl, 4] -> [n, Nb, c, e*nl*4]
+        b4 = b4.reshape(n, batch, ncomp, e * nl * 4)
+        # batch dim c in place; contract n in place
+        out = jax.lax.dot_general(
+            lhsT, b4,
+            (((2,), (0,)), ((0,), (2,))),
+            preferred_element_type=jnp.int32,
+        )  # [c, M*DA, Nb, e*nl*4]
+        pu = out.astype(jnp.uint32)
+        lo, hi = pu & jnp.uint32(0xFFFF), pu >> 16
+        lo = lo.reshape(ncomp, M, DA, batch, e, DB)
+        hi = hi.reshape(ncomp, M, DA, batch, e, DB)
+        S = DA + DB - 1
+        conv_lo = [None] * S
+        conv_hi = [None] * S
+        for i in range(DA):
+            for j in range(DB):
+                s = i + j
+                l = lo[:, :, i, :, :, j]
+                h = hi[:, :, i, :, :, j]
+                conv_lo[s] = l if conv_lo[s] is None else conv_lo[s] + l
+                conv_hi[s] = h if conv_hi[s] is None else conv_hi[s] + h
+        zero = jnp.zeros_like(conv_lo[0])
+        u = []
+        for s in range(S + 2):
+            v = conv_lo[s] if s < S else zero
+            if 2 <= s and s - 2 < S and conv_hi[s - 2] is not None:
+                v = v + conv_hi[s - 2]
+            u.append(v)
+        t_limbs = mxu._carry_pack(u, 2 * nl + 1)
+        P = mxu._redc_wide(ring.fq, t_limbs)  # [c, M, Nb, e(j), nl]
+        P = P.reshape(ncomp, kappa, e, batch, e, nl)
+        conv = [None] * (2 * e - 1)
+        for i in range(e):
+            for j in range(e):
+                term = P[:, :, i, :, j]
+                s = i + j
+                conv[s] = term if conv[s] is None else mo.add(ring.fq, conv[s], term)
+        outl = conv[:e]
+        if e > 1:
+            red = jnp.asarray(red_np)
+            for k in range(e - 1):
+                prod = mo.mont_mul(ring.fq, conv[e + k][..., None, :], red[k])
+                for t in range(e):
+                    outl[t] = mo.add(ring.fq, outl[t], prod[..., t, :])
+        res = jnp.stack(outl, axis=-2)  # [c, kappa, Nb, e, nl]
+        return jnp.transpose(res, (1, 2, 0, 3, 4))
+
+    f4 = rand_f(4)
+    ref = np.asarray(mxu.ajtai_commit(ring, planes, f4))
+    got = np.asarray(jax.jit(commit_v3)(f4))
+    _emit(check="v3_matches", ok=bool((ref == got).all()))
+
+    # byte-split alone (no transpose) to bound prep cost
+    def prep_only(f):
+        b4 = jnp.stack([(f >> jnp.uint32(8 * b)).astype(jnp.uint8) for b in range(4)], axis=-1)
+        return b4.reshape(n, f.shape[1], ncomp, e * nl * 4)
+
+    batches = (16, 32, 64) if on_tpu else (4,)
+    for batch in batches:
+        f = rand_f(batch)
+        t3 = loop_time(jax.jit(commit_v3), f)
+        tp = loop_time(jax.jit(prep_only), f)
+        _emit(exp="commit_v3", batch=batch, v3_ms=t3 * 1e3,
+              prep_ms=tp * 1e3, v3_commits_per_s=batch / t3)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Raw dot_general microbench: is the s8xs8->s32 path hitting the MXU?
+
+Compares the Ajtai-shaped int8 matmul against bf16/f32 variants, and times
+the convolution-folded CRT matmul shape. JSON lines out.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def loop_time(fn, first, iters=32):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def run(first):
+        def body(i, carry):
+            bit, acc0 = carry
+            f = (first + bit.astype(first.dtype)) if first.dtype in (jnp.bfloat16, jnp.float32) else (first ^ bit.astype(first.dtype))
+            out = fn(f)
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = jnp.uint32(0)
+            for leaf in leaves:
+                v = jnp.reshape(leaf, (-1,))[0]
+                acc = acc ^ v.astype(jnp.float32).astype(jnp.uint32) if leaf.dtype in (jnp.bfloat16, jnp.float32) else acc ^ v.astype(jnp.uint32)
+            return (acc & jnp.uint32(1), acc)
+
+        return jax.lax.fori_loop(0, iters, body, (jnp.uint32(0), jnp.uint32(0)))
+
+    np.asarray(run(first)[1])
+    t0 = time.perf_counter()
+    np.asarray(run(first)[1])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+
+    # Ajtai shape: batch c=8, [216, 32768] x [32768, 384]
+    c, M, K, N = 8, 216, 32768, 384
+    A8 = jnp.asarray(rng.integers(0, 255, size=(c, M, K), dtype=np.uint8).astype(np.int8))
+    B8 = jnp.asarray(rng.integers(0, 255, size=(c, K, N), dtype=np.uint8).astype(np.int8))
+    dn = (((2,), (1,)), ((0,), (0,)))
+
+    def dot_i8(B):
+        return jax.lax.dot_general(A8, B, dn, preferred_element_type=jnp.int32)
+
+    t = loop_time(dot_i8, B8)
+    macs = c * M * K * N
+    _emit(exp="dot_i8_ajtai", ms=t * 1e3, tops=macs * 2 / t / 1e12)
+
+    Abf = jnp.asarray(rng.integers(0, 255, size=(c, M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    Bbf = jnp.asarray(rng.integers(0, 255, size=(c, K, N)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def dot_bf(B):
+        return jax.lax.dot_general(Abf, B, dn, preferred_element_type=jnp.float32)
+
+    t = loop_time(dot_bf, Bbf)
+    _emit(exp="dot_bf16_ajtai", ms=t * 1e3, tflops=macs * 2 / t / 1e12)
+
+    # u8 x u8 -> s32 (unsigned)
+    A8u = jnp.asarray(rng.integers(0, 255, size=(c, M, K), dtype=np.uint8))
+    B8u = jnp.asarray(rng.integers(0, 255, size=(c, K, N), dtype=np.uint8))
+
+    def dot_u8(B):
+        return jax.lax.dot_general(A8u, B, dn, preferred_element_type=jnp.int32)
+
+    t = loop_time(dot_u8, B8u)
+    _emit(exp="dot_u8_ajtai", ms=t * 1e3, tops=macs * 2 / t / 1e12)
+
+    # unbatched variant: fold c into M
+    A8f = jnp.reshape(A8, (c * M, K))
+    B8s = B8[0]
+
+    def dot_i8_flat(B):
+        return jax.lax.dot_general(A8f, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+    t = loop_time(dot_i8_flat, B8s)
+    _emit(exp="dot_i8_flat", ms=t * 1e3, tops=c * M * K * N * 2 / t / 1e12)
+
+    # CRT conv-folded shape: [Nb, 192] x [192, 360] bf16, Nb = 32768
+    Nb, Kc, Nc = 32768, 192, 360
+    X = jnp.asarray(rng.integers(0, 255, size=(Nb, Kc)).astype(np.float32)).astype(jnp.bfloat16)
+    W = jnp.asarray(rng.integers(0, 255, size=(Kc, Nc)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def dot_crt(X):
+        return jax.lax.dot_general(X, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    t = loop_time(dot_crt, X, iters=64)
+    _emit(exp="dot_crt_folded", ms=t * 1e3, tflops=Nb * Kc * Nc * 2 / t / 1e12)
+
+    # and int8 variant of same
+    Xi = jnp.asarray(rng.integers(0, 255, size=(Nb, Kc), dtype=np.uint8).astype(np.int8))
+    Wi = jnp.asarray(rng.integers(0, 255, size=(Kc, Nc), dtype=np.uint8).astype(np.int8))
+
+    def dot_crt_i8(X):
+        return jax.lax.dot_general(X, Wi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+    t = loop_time(dot_crt_i8, Xi, iters=64)
+    _emit(exp="dot_crt_folded_i8", ms=t * 1e3, tops=Nb * Kc * Nc * 2 / t / 1e12)
+
+
+if __name__ == "__main__":
+    main()

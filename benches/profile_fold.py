@@ -1,0 +1,261 @@
+"""Round-2 profiling: Ajtai commit stage breakdown + NIFS fold phase breakdown.
+
+Prints JSON lines. Run on TPU (or CPU for a smoke test):
+    python benches/profile_fold.py
+
+Stage timings use a jitted fori_loop with an xor data-dependency chain so the
+whole timed region runs on device (per-call dispatch over the tunneled
+backend would otherwise dominate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def loop_time(fn, init_args, iters=16):
+    """Time `fn(*args)` iterated on device with an xor dependency chain.
+
+    fn must map its first arg (uint-typed array) to some output pytree; we
+    xor-reduce the output into a scalar and perturb the first arg's low bit.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    first = init_args[0]
+    rest = init_args[1:]
+
+    @jax.jit
+    def run(first, rest):
+        def body(i, carry):
+            bit, _ = carry
+            f = first ^ bit.astype(first.dtype)
+            out = fn(f, *rest)
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = jnp.uint32(0)
+            for leaf in leaves:
+                acc = acc ^ jnp.reshape(leaf, (-1,))[0].astype(jnp.uint32)
+            return (acc & jnp.uint32(1), acc)
+
+        return jax.lax.fori_loop(0, iters, body, (jnp.uint32(0), jnp.uint32(0)))
+
+    np.asarray(run(first, rest)[1])  # compile+warm
+    t0 = time.perf_counter()
+    np.asarray(run(first, rest)[1])
+    dt = time.perf_counter() - t0
+    return dt / iters
+
+
+def profile_ajtai():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latticefold_tpu import modops as mo
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.rings import mxu
+    from latticefold_tpu.rings.construct import get_ring
+
+    ring = get_ring("goldilocks")
+    on_tpu = jax.default_backend() != "cpu"
+    kappa, n, batch = (9, 1 << 15, 16) if on_tpu else (4, 1 << 10, 4)
+    scheme = AjtaiScheme(ring, kappa, n, seed=1)
+    planes = scheme._mxu_planes
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 1 << 32, size=(n, batch, ring.ncomp, ring.e, ring.nl), dtype=np.uint64)
+    f = jnp.asarray((raw % np.uint64(0x7FFFFFFF)).astype(np.uint32))
+
+    e, ncomp, nl = ring.e, ring.ncomp, ring.nl
+
+    # stage A: rhs transpose + plane split
+    def stageA(f):
+        rhs = jnp.transpose(f, (2, 0, 3, 1, 4)).reshape(ncomp, n, e * batch, nl)
+        return mxu.to_planes(rhs)
+
+    # stage B: plane dot
+    rhs_planes = jax.jit(stageA)(f)
+
+    def stageB(rhs_planes):
+        return mxu._plane_dot(planes, rhs_planes)
+
+    lo, hi = jax.jit(stageB)(rhs_planes)
+
+    # stage C: epilogue (positions + carry + REDC + ext-combine + transpose)
+    DA, DB = planes.shape[-1], rhs_planes.shape[-1]
+
+    def stageC(lo, hi):
+        u = mxu._group_positions(lo, hi, DA, DB)
+        t_limbs = mxu._carry_pack(u, 2 * nl + 1)
+        P = mxu._redc_wide(ring.fq, t_limbs)
+        P = P.reshape(ncomp, kappa, e, e, batch, nl)
+        conv = [None] * (2 * e - 1)
+        for i in range(e):
+            for j in range(e):
+                term = P[:, :, i, j]
+                s = i + j
+                conv[s] = term if conv[s] is None else mo.add(ring.fq, conv[s], term)
+        out = conv[:e]
+        if e > 1:
+            red = jnp.asarray(mxu._red_rows_np(ring))
+            for k in range(e - 1):
+                prod = mo.mont_mul(ring.fq, conv[e + k][..., None, :], red[k])
+                for t in range(e):
+                    out[t] = mo.add(ring.fq, out[t], prod[..., t, :])
+        res = jnp.stack(out, axis=-2)
+        return jnp.transpose(res, (1, 2, 0, 3, 4))
+
+    def full(f):
+        return mxu.ajtai_commit(ring, planes, f)
+
+    tA = loop_time(stageA, (f,))
+    tB = loop_time(stageB, (rhs_planes,))
+    tC = loop_time(lambda lo: stageC(lo, hi), (lo,))
+    tF = loop_time(full, (f,))
+    _emit(profile="ajtai_stages", backend=jax.default_backend(),
+          kappa=kappa, n=n, batch=batch,
+          planes_ms=tA * 1e3, dot_ms=tB * 1e3, epilogue_ms=tC * 1e3,
+          full_ms=tF * 1e3, commits_per_s=batch / tF)
+
+    # CRT breakdown at decomposition scale
+    NL = n
+    coeffs = jnp.asarray(
+        (rng.integers(0, 1 << 32, size=(NL, ring.d, nl), dtype=np.uint64)
+         % np.uint64(0x7FFFFFFF)).astype(np.uint32))
+    tCRT = loop_time(lambda c: mxu._crt_block(ring, c), (coeffs,), iters=8)
+    _emit(profile="crt_block", backend=jax.default_backend(), N=NL,
+          ms=tCRT * 1e3, elements_per_s=NL / tCRT)
+
+
+class Acc:
+    def __init__(self):
+        self.t = defaultdict(float)
+        self.n = defaultdict(int)
+        self.stack = []
+
+    def wrap(self, mod, name, label=None):
+        label = label or name
+        orig = getattr(mod, name)
+
+        def timed(*a, **k):
+            t0 = time.perf_counter()
+            self.stack.append(label)
+            try:
+                return orig(*a, **k)
+            finally:
+                self.stack.pop()
+                if label not in self.stack:  # only outermost frames count
+                    self.t[label] += time.perf_counter() - t0
+                    self.n[label] += 1
+
+        setattr(mod, name, timed)
+        return orig
+
+
+def profile_nifs():
+    import jax
+    import jax.numpy as jnp
+
+    import latticefold_tpu.nifs as nifs
+    import latticefold_tpu.nifs.decomposition as dec
+    import latticefold_tpu.nifs.folding as fold
+    import latticefold_tpu.nifs.linearization as lin
+    import latticefold_tpu.poly.mle as mlemod
+    import latticefold_tpu.rings.ops as rops
+    import latticefold_tpu.sumcheck as sc
+    from latticefold_tpu.arith import witness as witmod
+    from latticefold_tpu.arith.ccs import CCS, CCCS, get_test_dummy_r1cs
+    from latticefold_tpu.arith.witness import Witness
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.params import PRESETS
+    from latticefold_tpu.rings.construct import get_ring
+    from latticefold_tpu.transcript import Transcript
+
+    on_tpu = jax.default_backend() != "cpu"
+    wit_len = int(os.environ.get("PROF_WIT_LEN", 1 << 12 if on_tpu else 1 << 8))
+    kappa = 4
+    x_len = 1
+    ring = get_ring("goldilocks")
+    dp = PRESETS["goldilocks"]
+
+    r1cs = get_test_dummy_r1cs(ring, x_len, wit_len, x_len + wit_len + 1)
+    ccs = CCS.from_r1cs_padded(ring, r1cs, W=x_len + wit_len + 1, L=dp.L)
+    w_host = [ring.one()] * wit_len
+    x_ccs = [ring.one()] * x_len
+    scheme = AjtaiScheme(ring, kappa, wit_len * dp.L, seed=7)
+    wit = Witness.from_w_ccs(ring, dp, rops.to_device(ring, w_host), n_pad=ccs.m)
+    cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+    acc_i, _ = lin.prove(cm_i, wit, Transcript(ring), ccs)
+
+    # warm/compile run
+    t0 = time.perf_counter()
+    nifs.prove(acc_i, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp)
+    _emit(profile="nifs_warm", seconds=time.perf_counter() - t0, m=ccs.m,
+          wit_len=wit_len, K=dp.K, backend=jax.default_backend())
+
+    acc = Acc()
+    # phase-level
+    acc.wrap(lin, "prove", "lin.prove")
+    acc.wrap(dec, "prove", "dec.prove")
+    acc.wrap(fold, "prove", "fold.prove")
+    # decomposition internals
+    acc.wrap(dec, "decompose_witness", "dec.decompose_witness")
+    acc.wrap(dec, "decompose_big_vec_into_k_vec_and_compose_back", "dec.x_split")
+    acc.wrap(dec, "calculate_Mz_mles", "dec.mz_mles")
+    # folding internals
+    acc.wrap(fold, "prepare_folding_mles", "fold.prepare_mles")
+    acc.wrap(fold, "rot_lin_combination", "fold.rotsum")
+    acc.wrap(fold, "fold_witnesses", "fold.fold_wit")
+    # shared
+    acc.wrap(sc, "prove", "sumcheck.prove")
+    acc.wrap(rops, "to_host", "rops.to_host")
+    acc.wrap(rops, "to_device", "rops.to_device")
+    acc.wrap(mlemod, "evaluate", "mle.evaluate")
+    acc.wrap(mlemod, "evaluate_subfield", "mle.evaluate_sub")
+    acc.wrap(mlemod, "build_eq", "mle.build_eq")
+    acc.wrap(witmod.Witness, "from_f_coeff", "Witness.from_f_coeff")
+    acc.wrap(witmod.Witness, "from_f", "Witness.from_f")
+    # transcript-affecting wrappers share names across modules pointing to the
+    # same functions — dec/fold re-import, so re-wrap their references:
+    dec.Witness = witmod.Witness
+    fold_mle_orig = None
+
+    t0 = time.perf_counter()
+    out = nifs.prove(acc_i, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp)
+    total = time.perf_counter() - t0
+    jax.block_until_ready(out[1].f)
+
+    rows = sorted(acc.t.items(), key=lambda kv: -kv[1])
+    _emit(profile="nifs_phases", total_s=total, m=ccs.m, wit_len=wit_len,
+          K=dp.K, backend=jax.default_backend(),
+          phases={k: round(v, 4) for k, v in rows},
+          counts={k: acc.n[k] for k, _ in rows})
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    which = os.environ.get("PROFILE", "all")
+    if which in ("all", "ajtai"):
+        profile_ajtai()
+    if which in ("all", "nifs"):
+        profile_nifs()
+
+
+if __name__ == "__main__":
+    main()

@@ -366,7 +366,10 @@ def signed_digits(m: Modulus, a, b: int, ndigits: int):
         carry = (jnp.uint32(half) - rem) >> 31
         d = rem.astype(jnp.int32) - jnp.int32(b) * carry.astype(jnp.int32)
         nmag, _ = _add_limbs(quo, [carry] + [jnp.zeros_like(carry)] * (nl - 1), nl)
-        return _pack(nmag), d
+        # barrier: the scanned carry (mag) must not be overwritten in place
+        # before the digit output is materialized (XLA:CPU scan aliasing
+        # hazard — same class as the sumcheck scan fix, sumcheck.py).
+        return jax.lax.optimization_barrier((_pack(nmag), d))
 
     _, digs = jax.lax.scan(step, _pack(mag), None, length=ndigits)
     digs = jnp.moveaxis(digs, 0, -1)  # [..., ndigits]

@@ -1,0 +1,514 @@
+"""Whole-NIFS fold step as ONE device program (TPU-native fast path).
+
+The modular prover (nifs/__init__.py) mirrors the reference's host-sequential
+structure (nifs.rs:48-102) and pays a host<->device round trip per absorbed
+value — ~100 blocking syncs per fold over a tunneled TPU backend (measured:
+~37 ms each, >60% of fold wall time). This module compiles the ENTIRE prove
+step — linearization sumcheck, two K-way decompositions (digit split, CRT,
+Ajtai commits), and the folding sumcheck with short-rho folds — into a single
+XLA program with the Fiat-Shamir transcript resident on device
+(transcript/device.py). One dispatch in, one result transfer out; the IVC
+accumulator (LCCCS + witness) can stay on device across steps.
+
+Transcript-identical to the modular path by construction (same absorb/squeeze
+schedule, same sponge); tests/test_device_step.py asserts proof equality
+against nifs.prove.
+
+Scope: decomposition parameter sets with B < 2^16 (all test presets except
+Stark's composite gadget; the modular path covers those).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modops as mo
+from .. import sumcheck as sc
+from ..arith.ccs import CCS, CCCS, Commitment, LCCCS
+from ..arith.witness import Witness, gadget_recompose, make_fhat
+from ..commitment import AjtaiScheme
+from ..params import DecompositionParams
+from ..poly import mle as mlemod
+from ..rings import mxu
+from ..rings import ops as rops
+from ..rings.construct import Ring
+from ..transcript import Transcript
+from ..transcript import device as dtr
+from . import decomposition as dec_mod
+from . import folding as fold_mod
+from . import linearization as lin_mod
+from .folding import FoldingProof
+from .linearization import LinearizationProof
+from . import LFProof
+
+
+# ---------------------------------------------------------------------------
+# small device helpers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _tag_elt_np(ring: Ring, tag: bytes):
+    """Domain tag as a diagonal ring element [c, e, nl] (Montgomery)."""
+    v = int.from_bytes(tag, "big") % ring.q
+    R = 1 << (32 * ring.nl)
+    vals = np.zeros((ring.ncomp, ring.e), dtype=object)
+    vals[:, 0] = v * R % ring.q
+    return ring.fq.encode(vals)
+
+
+def _absorb_tag(sp: dtr.TraceSponge, tag: bytes):
+    sp.absorb_ring(jnp.asarray(_tag_elt_np(sp.ring, tag)))
+
+
+def _absorb_k_points(sp: dtr.TraceSponge, pts):
+    """Absorb K points [n, e, nl] as their diagonal ring embeddings."""
+    ring = sp.ring
+    sp.absorb_ring(jnp.broadcast_to(pts[:, None], (pts.shape[0], ring.ncomp) + pts.shape[1:]))
+
+
+@functools.lru_cache(maxsize=None)
+def _one_elt_np(ring: Ring):
+    R = 1 << (32 * ring.nl)
+    vals = np.zeros((1, ring.ncomp, ring.e), dtype=object)
+    vals[:, :, 0] = R % ring.q
+    return ring.fq.encode(vals)
+
+
+def _one_dev(ring: Ring):
+    return jnp.asarray(_one_elt_np(ring))  # [1, c, e, nl]
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_int_np(ring: Ring, v: int):
+    R = 1 << (32 * ring.nl)
+    vals = np.zeros((ring.e,), dtype=object)
+    vals[0] = v % ring.q * R % ring.q
+    return ring.fq.encode(vals)
+
+
+def _diag_int(ring: Ring, v: int):
+    """Small int as a diagonal K element [e, nl] (Montgomery)."""
+    return jnp.asarray(_diag_int_np(ring, v))
+
+
+def _rho_fold(ring: Ring, stacked, rhos):
+    """sum_i rhos[i] * stacked[i] over the leading axis. The barrier keeps
+    the broadcast multiply from fusing into the slice-and-add reduction
+    (XLA:CPU miscompile — tests/test_fusion_audit.py)."""
+    rho_b = rhos.reshape(rhos.shape[:1] + (1,) * (stacked.ndim - 4) + rhos.shape[1:])
+    prod = rops.ring_mul(ring, stacked, rho_b)
+    prod = jax.lax.optimization_barrier(prod)
+    return rops.ring_sum(ring, prod, 0)
+
+
+def mul_by_x_dev(ring: Ring, x):
+    """X * f on canonical coefficient arrays [..., d, nl] (rotation.rs:45-60)."""
+    top = x[..., -1, :]
+    shifted = jnp.concatenate([jnp.zeros_like(x[..., :1, :]), x[..., :-1, :]], axis=-2)
+    out = shifted.at[..., 0, :].set(mo.sub(ring.fq, shifted[..., 0, :], top))
+    if ring.n_cyc == 3 * ring.d:  # X^d - X^{d/2} + 1: X^d = X^{d/2} - 1
+        mid = ring.d // 2
+        out = out.at[..., mid, :].set(mo.add(ring.fq, shifted[..., mid, :], top))
+    return out
+
+
+def rot_lin_combination_dev(ring: Ring, rho_coeff, theta_flat):
+    """Device RotSum fold (rotation.rs:84-104): rho_coeff [2K, d, nl]
+    canonical; theta_flat [2K, d, e, nl] Montgomery (component-major flatten
+    of the tau evaluation claims). Returns v_0 [tau, c, e, nl] Montgomery."""
+    d = ring.d
+    cur = rho_coeff
+    rows = []
+    for _ in range(d):
+        rows.append(cur)
+        cur = mul_by_x_dev(ring, cur)
+    R = jnp.stack(rows, axis=1)  # [2K, d(i), d(j), nl] canonical
+    Rm = mo.to_mont(ring.fq, R)
+    # res[j] = sum_{k,i} R[k,i,j] * theta_flat[k,i]
+    prod = mo.mont_mul(ring.fq, Rm[..., None, :], theta_flat[:, :, None])  # [2K, i, j, e, nl]
+    summed = mo.sum_mod(ring.fq, mo.sum_mod(ring.fq, prod, 1), 0)  # [j, e, nl]
+    return summed.reshape(ring.tau, ring.ncomp, ring.e, ring.nl)
+
+
+# ---------------------------------------------------------------------------
+# traced subprotocols
+# ---------------------------------------------------------------------------
+
+
+class DevLCCCS(NamedTuple):
+    """LCCCS with device-resident fields (r [s,e,nl]; v [tau,...]; cm
+    [kappa,...]; u [t,...]; xw_h [l+1,...] = x_w || h). NamedTuple so it
+    flattens as a jax pytree across the jit boundary."""
+
+    r: jnp.ndarray
+    v: jnp.ndarray
+    cm: jnp.ndarray
+    u: jnp.ndarray
+    xw_h: jnp.ndarray
+
+
+def _trace_linearization(sp, ccs: CCS, cmi_cm, cmi_x, wi_wccs, wi_fhat):
+    """linearization.rs:145-189 on device. Returns (DevLCCCS, evals, v, u)."""
+    ring = ccs.ring
+    _absorb_tag(sp, b"beta_s")
+    beta = jnp.stack([sp.get_challenge() for _ in range(ccs.s)])  # [s, e, nl]
+
+    z = jnp.concatenate([cmi_x, _one_dev(ring), wi_wccs], axis=0)
+    Mz = jnp.stack([M.mat_vec(z) for M in ccs.M])  # [t, m, ...]
+
+    sel = [Mz[j] for i, Si in enumerate(ccs.S) if ccs.c[i] != 0 for j in Si]
+    eq = mlemod.build_eq(ring, beta)
+    mles = jnp.stack(sel + [eq])
+
+    comb = lin_mod._lin_comb(ring, tuple(tuple(s) for s in ccs.S), tuple(ccs.c))
+    evals, chals, _ = sc.trace_prove(sp, mles, ccs.s, ccs.d + 1, comb)
+
+    v = mlemod.evaluate_subfield(ring, wi_fhat, chals)  # [tau, c, e, nl]
+    u = mlemod.evaluate(ring, Mz, chals)  # [t, c, e, nl]
+    sp.absorb_ring(v)
+    sp.absorb_ring(u)
+    inst = DevLCCCS(
+        r=chals, v=v, cm=cmi_cm, u=u,
+        xw_h=jnp.concatenate([cmi_x, _one_dev(ring)], axis=0),
+    )
+    return inst, evals, v, u
+
+
+def _split_statement(ring: Ring, dp: DecompositionParams, xw_h):
+    """decompose_big_vec_into_k_vec_and_compose_back (decomposition/utils.rs:
+    12-42) on device: [lx, c, e, nl] -> [K, lx, c, e, nl]."""
+    assert dp.B < (1 << 16), "device statement split supports B < 2^16"
+    fq = ring.fq
+    coeffs = mo.from_mont(fq, rops.icrt(ring, xw_h))  # [lx, d, nl] canonical
+    dB = mo.signed_digits(fq, coeffs, dp.B, dp.L)  # [lx, d, L]
+    fB = mo.digits_to_field(fq, dB)  # [lx, d, L, nl]
+    db = mo.signed_digits(fq, fB, dp.b, dp.K)  # [lx, d, L, K]
+    fb = mo.digits_to_field(fq, db)  # [lx, d, L, K, nl]
+    out = []
+    for k in range(dp.K):
+        acc = None
+        for j in range(dp.L):
+            c = _bpow_const(ring, dp.B, j)
+            term = mo.mont_mul(fq, mo.to_mont(fq, fb[:, :, j, k, :]), c)
+            acc = term if acc is None else mo.add(fq, acc, term)
+        out.append(rops.crt(ring, acc))  # [lx, c, e, nl]
+    return jnp.stack(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _bpow_const_np(ring: Ring, b: int, j: int):
+    R = 1 << (32 * ring.nl)
+    return ring.fq.encode(np.array(pow(b, j, ring.q) * R % ring.q, dtype=object))
+
+
+def _bpow_const(ring: Ring, b: int, j: int):
+    return jnp.asarray(_bpow_const_np(ring, b, j))
+
+
+def _trace_decomposition(sp, ccs: CCS, dp, scheme_planes, kappa: int, inst: DevLCCCS, f_coeff):
+    """decomposition.rs:33-88 on device. Returns (instances, wits, mz, proof
+    arrays)."""
+    ring = ccs.ring
+    fq = ring.fq
+
+    digs = mo.signed_digits(fq, f_coeff, dp.b, dp.K)  # [NL, d, K]
+    f_ks, fhat_ks, wccs_ks = [], [], []
+    for k in range(dp.K):
+        fck = mo.digits_to_field(fq, digs[..., k])  # [NL, d, nl]
+        f_k = rops.crt(ring, mo.to_mont(fq, fck))
+        fhat_ks.append(make_fhat(ring, fck, ccs.m))
+        wccs_ks.append(gadget_recompose(ring, dp, f_k))
+        f_ks.append(f_k)
+
+    x_split = _split_statement(ring, dp, inst.xw_h)  # [K, lx, ...]
+
+    # commitments: y_1..y_{K-1} in one batched MXU commit; y_0 derived
+    if dp.K > 1:
+        batch = jnp.stack(f_ks[1:], axis=1)  # [NL, K-1, ...]
+        cms = mxu.ajtai_commit(ring, scheme_planes, batch)  # [kappa, K-1, ...]
+    else:
+        cms = jnp.zeros((kappa, 0, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32)
+    b_diag = _diag_int(ring, dp.b)
+    b_sum = jnp.zeros_like(inst.cm)
+    for i in range(dp.K - 2, -1, -1):
+        b_sum = rops.scalar_mul(ring, rops.ring_add(ring, b_sum, cms[:, i]), b_diag)
+    y0 = rops.ring_sub(ring, inst.cm, b_sum)
+    y_s = jnp.concatenate([y0[:, None], cms], axis=1)  # [kappa, K, ...]
+
+    rs = inst.r
+    fhat_all = jnp.stack(fhat_ks)  # [K, tau, m, c, nl]
+    v_s = mlemod.evaluate_subfield(ring, fhat_all, rs)  # [K, tau, c, e, nl]
+
+    mz_ks, u_ks = [], []
+    for k in range(dp.K):
+        z = jnp.concatenate([x_split[k], wccs_ks[k]], axis=0)
+        mz = jnp.stack([M.mat_vec(z) for M in ccs.M])
+        mz_ks.append(mz)
+        u_ks.append(mlemod.evaluate(ring, mz, rs))
+    u_s = jnp.stack(u_ks)  # [K, t, ...]
+
+    insts = []
+    for k in range(dp.K):
+        sp.absorb_ring(x_split[k])
+        sp.absorb_ring(y_s[:, k])
+        sp.absorb_ring(u_s[k])
+        sp.absorb_ring(v_s[k])
+        insts.append(
+            DevLCCCS(r=rs, v=v_s[k], cm=y_s[:, k], u=u_s[k], xw_h=x_split[k])
+        )
+
+    wits = (jnp.stack(f_ks), fhat_all)
+    proof = {"u_s": u_s, "v_s": v_s, "x_s": x_split, "y_s": y_s}
+    return insts, wits, jnp.stack(mz_ks), proof
+
+
+def _trace_folding(sp, ccs: CCS, dp, insts: List[DevLCCCS], f_all, fhat_all, mz_all):
+    """folding.rs:42-130 on device."""
+    ring = ccs.ring
+    two_k = 2 * dp.K
+    log_m = ccs.s
+
+    _absorb_tag(sp, b"alpha_s")
+    alphas = jnp.stack([sp.get_challenge() for _ in range(two_k)])
+    _absorb_tag(sp, b"zeta_s")
+    zetas = jnp.stack([sp.get_challenge() for _ in range(two_k)])
+    _absorb_tag(sp, b"mu_s")
+    mus = [sp.get_challenge() for _ in range(two_k - 1)]
+    mus.append(_diag_one(ring))  # one challenge less + ONE (folding/utils.rs:77-83)
+    mus = jnp.stack(mus)
+    _absorb_tag(sp, b"beta_s")
+    beta = jnp.stack([sp.get_challenge() for _ in range(log_m)])
+
+    eq1 = mlemod.build_eq(ring, insts[0].r)
+    eq2 = mlemod.build_eq(ring, insts[dp.K].r)
+    beta_eq = mlemod.build_eq(ring, beta)
+
+    mles = fold_mod.prepare_folding_mles(
+        ring, dp.K, fhat_all, mz_all, eq1, eq2, beta_eq, alphas, zetas
+    )
+    comb = fold_mod._folding_comb(ring, two_k, ring.tau, dp.b)
+    evals, r0, finals = sc.trace_prove(sp, mles, log_m, 2 * dp.b, comb, mus)
+
+    theta_flat_kd = finals[5:]  # [2K*tau, c, e, nl]
+    theta_s = theta_flat_kd.reshape(two_k, ring.tau, ring.ncomp, ring.e, ring.nl)
+    eta_s = mlemod.evaluate(ring, mz_all, r0)  # [2K, t, c, e, nl]
+
+    for i in range(two_k):
+        sp.absorb_ring(theta_s[i])
+    for i in range(two_k):
+        sp.absorb_ring(eta_s[i])
+
+    _absorb_tag(sp, b"rho_s")
+    rho_coeffs = [dtr.short_challenge_trace(sp) for _ in range(two_k - 1)]
+    rho_coeffs.append(_one_coeff(ring))
+    rho_coeff = jnp.stack(rho_coeffs)  # [2K, d, nl] canonical
+    rho_ntt = rops.crt(ring, mo.to_mont(ring.fq, rho_coeff))  # [2K, c, e, nl]
+
+    f0 = _rho_fold(ring, f_all, rho_ntt)
+
+    # v_0 via RotSum; theta flatten is component-major within each tau row
+    theta_flat = theta_s.reshape(two_k, ring.d, ring.e, ring.nl)
+    v0 = rot_lin_combination_dev(ring, rho_coeff, theta_flat)
+
+    cm0 = _rho_fold(ring, jnp.stack([i.cm for i in insts]), rho_ntt)
+    u0 = _rho_fold(ring, jnp.stack([i.u for i in insts]), rho_ntt)
+    x0 = _rho_fold(ring, jnp.stack([i.xw_h for i in insts]), rho_ntt)
+
+    folded = DevLCCCS(r=r0, v=v0, cm=cm0, u=u0, xw_h=x0)
+    proof = {"evals": evals, "theta_s": theta_s, "eta_s": eta_s}
+    return folded, f0, proof
+
+
+@functools.lru_cache(maxsize=None)
+def _one_coeff_np(ring: Ring):
+    vals = np.zeros((ring.d,), dtype=object)
+    vals[0] = 1
+    return ring.fq.encode(vals)
+
+
+def _one_coeff(ring: Ring):
+    return jnp.asarray(_one_coeff_np(ring))  # [d, nl] canonical
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_one_np(ring: Ring):
+    R = 1 << (32 * ring.nl)
+    vals = np.zeros((ring.e,), dtype=object)
+    vals[0] = R % ring.q
+    return ring.fq.encode(vals)
+
+
+def _diag_one(ring: Ring):
+    return jnp.asarray(_diag_one_np(ring))  # [e, nl]
+
+
+# ---------------------------------------------------------------------------
+# the fused step
+# ---------------------------------------------------------------------------
+
+
+class DeviceNIFS:
+    """Single-dispatch NIFS prover bound to (ccs, dp, scheme).
+
+    ``prove`` is call-compatible with nifs.prove (host LCCCS/Witness in and
+    out, host transcript advanced identically); ``prove_device`` takes and
+    returns device pytrees for zero-decode IVC chaining.
+    """
+
+    def __init__(self, ccs: CCS, dp: DecompositionParams, scheme: AjtaiScheme):
+        self.ccs = ccs
+        self.dp = dp
+        self.scheme = scheme
+        self.ring = ccs.ring
+        self._jit_cache = {}
+        self._final_bookkeeping = {}
+
+    # -- traced program ------------------------------------------------------
+    def _trace(self, idx0: int, abs0: bool, state0, acc, wacc_fcoeff,
+               cmi_cm, cmi_x, wi_wccs, wi_fcoeff, wi_fhat):
+        ccs, dp, ring = self.ccs, self.dp, self.ring
+        sp = dtr.TraceSponge(ring, state0, idx0, abs0)
+
+        # absorb_public_input (nifs.rs:175-197)
+        _absorb_tag(sp, b"acc")
+        _absorb_k_points(sp, acc.r)
+        sp.absorb_ring(acc.v)
+        sp.absorb_ring(acc.cm)
+        sp.absorb_ring(acc.u)
+        sp.absorb_ring(acc.xw_h)
+        _absorb_tag(sp, b"cm_i")
+        sp.absorb_ring(cmi_cm)
+        sp.absorb_ring(cmi_x)
+
+        lin_inst, lin_evals, lin_v, lin_u = _trace_linearization(
+            sp, ccs, cmi_cm, cmi_x, wi_wccs, wi_fhat
+        )
+
+        planes = self.scheme._mxu_planes
+        insts_l, wits_l, mz_l, dproof_l = _trace_decomposition(
+            sp, ccs, dp, planes, self.scheme.kappa, acc, wacc_fcoeff
+        )
+        insts_r, wits_r, mz_r, dproof_r = _trace_decomposition(
+            sp, ccs, dp, planes, self.scheme.kappa, lin_inst, wi_fcoeff
+        )
+
+        f_all = jnp.concatenate([wits_l[0], wits_r[0]], axis=0)  # [2K, NL, ...]
+        fhat_all = jnp.concatenate([wits_l[1], wits_r[1]], axis=0)
+        mz_all = jnp.concatenate([mz_l, mz_r], axis=0)
+
+        folded, f0, fproof = _trace_folding(
+            sp, ccs, dp, insts_l + insts_r, f_all, fhat_all, mz_all
+        )
+
+        # folded witness (arith.rs:299-313)
+        f0_coeff = mo.from_mont(ring.fq, rops.icrt(ring, f0))
+        fhat0 = make_fhat(ring, f0_coeff, ccs.m)
+        wccs0 = gadget_recompose(ring, dp, f0)
+
+        self._final_bookkeeping["idx"] = sp.index
+        self._final_bookkeeping["absorbing"] = sp.absorbing
+        return {
+            "state": sp.state,
+            "folded": folded,
+            "w0": {"f": f0, "f_coeff": f0_coeff, "f_hat": fhat0, "w_ccs": wccs0},
+            "lin": {"evals": lin_evals, "v": lin_v, "u": lin_u},
+            "dec_l": dproof_l,
+            "dec_r": dproof_r,
+            "fold": fproof,
+        }
+
+    def _get_jit(self, idx0: int, abs0: bool):
+        key = (idx0, abs0)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                functools.partial(self._trace, idx0, abs0)
+            )
+        return self._jit_cache[key]
+
+    # -- host-compatible wrapper ---------------------------------------------
+    def prove(self, acc: LCCCS, w_acc: Witness, cm_i: CCCS, w_i: Witness,
+              transcript: Transcript):
+        """Drop-in for nifs.prove(acc, w_acc, cm_i, w_i, transcript, ccs,
+        scheme, dp). One device dispatch; decodes the proof afterwards."""
+        ring, ccs, dp = self.ring, self.ccs, self.dp
+        ccs.sanity_check(dp.L)
+        state0, idx0, abs0 = dtr.export_state(ring, transcript)
+        acc_dev = DevLCCCS(
+            r=mlemod.point_to_device(ring, acc.r),
+            v=rops.to_device(ring, list(acc.v)),
+            cm=rops.to_device(ring, list(acc.cm.vals)),
+            u=rops.to_device(ring, list(acc.u)),
+            xw_h=rops.to_device(ring, list(acc.x_w) + [acc.h]),
+        )
+        cmi_cm = rops.to_device(ring, list(cm_i.cm.vals))
+        cmi_x = rops.to_device(ring, list(cm_i.x_ccs))
+
+        fn = self._get_jit(idx0, abs0)
+        out = fn(state0, acc_dev, w_acc.f_coeff, cmi_cm, cmi_x,
+                 w_i.w_ccs, w_i.f_coeff, w_i.f_hat)
+
+        # transcript continuity
+        dtr.import_state(ring, transcript, out["state"],
+                         self._final_bookkeeping["idx"],
+                         self._final_bookkeeping["absorbing"])
+
+        folded_host = self._decode_lcccs(out["folded"])
+        w0 = Witness(ring, dp, out["w0"]["w_ccs"], out["w0"]["f"],
+                     out["w0"]["f_coeff"], out["w0"]["f_hat"])
+        proof = self._decode_proof(out)
+        return folded_host, w0, proof
+
+    # -- decoders -------------------------------------------------------------
+    def _decode_lcccs(self, d: DevLCCCS) -> LCCCS:
+        ring = self.ring
+        r = [tuple(c) for c in dtr.k_from_device(ring, d.r)]
+        v = list(rops.to_host(ring, d.v))
+        cm = Commitment(ring, list(rops.to_host(ring, d.cm)))
+        u = list(rops.to_host(ring, d.u))
+        xw = list(rops.to_host(ring, d.xw_h))
+        return LCCCS(r=r, v=v, cm=cm, u=u, x_w=xw[:-1], h=xw[-1])
+
+    def _decode_sumcheck(self, evals) -> sc.SumcheckProof:
+        evs_host = rops.to_host(self.ring, evals)  # [nvars, deg+1]
+        return sc.SumcheckProof([list(evs_host[r]) for r in range(evs_host.shape[0])])
+
+    def _decode_dec(self, d) -> dec_mod.DecompositionProof:
+        ring = self.ring
+        K = self.dp.K
+        u_s = rops.to_host(ring, d["u_s"])
+        v_s = rops.to_host(ring, d["v_s"])
+        x_s = rops.to_host(ring, d["x_s"])
+        y_s = rops.to_host(ring, d["y_s"])  # [kappa, K]
+        return dec_mod.DecompositionProof(
+            u_s=[list(u_s[k]) for k in range(K)],
+            v_s=[list(v_s[k]) for k in range(K)],
+            x_s=[list(x_s[k]) for k in range(K)],
+            y_s=[Commitment(ring, list(y_s[:, k])) for k in range(K)],
+        )
+
+    def _decode_proof(self, out) -> LFProof:
+        ring = self.ring
+        lin = LinearizationProof(
+            sumcheck=self._decode_sumcheck(out["lin"]["evals"]),
+            v=list(rops.to_host(ring, out["lin"]["v"])),
+            u=list(rops.to_host(ring, out["lin"]["u"])),
+        )
+        theta = rops.to_host(ring, out["fold"]["theta_s"])
+        eta = rops.to_host(ring, out["fold"]["eta_s"])
+        fold = FoldingProof(
+            sumcheck=self._decode_sumcheck(out["fold"]["evals"]),
+            theta_s=[list(theta[i]) for i in range(theta.shape[0])],
+            eta_s=[list(eta[i]) for i in range(eta.shape[0])],
+        )
+        return LFProof(
+            linearization_proof=lin,
+            decomposition_proof_l=self._decode_dec(out["dec_l"]),
+            decomposition_proof_r=self._decode_dec(out["dec_r"]),
+            folding_proof=fold,
+        )

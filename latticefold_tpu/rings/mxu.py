@@ -209,6 +209,81 @@ def fq_matmul(m: Modulus, lhs_planes, rhs):
 
 
 # ---------------------------------------------------------------------------
+# Convolution-folded constant-matrix apply (bf16 MXU path).
+#
+# For y = W x with a CONSTANT [dout, din] matrix (CRT/ICRT/rotation), the
+# byte-plane pair products can be folded into the matrix ahead of time:
+#
+#   y[dout, s] = sum_{din, j} x_byte_j[din] * W_byte_{s-j}[dout, din]
+#
+# i.e. one matmul [.., din*DB] x [din*DB, dout*S] where S = DA+DB-1 is the
+# byte-position axis, followed by the same carry-pack + wide-REDC epilogue.
+# This avoids the [.., DA, dout, DB] plane-pair blowup that makes the generic
+# fq_matmul path HBM-bound when the contraction (din = ring degree) is tiny.
+#
+# Exactness: byte products <= 255^2; a contraction chunk of <= _CONV_CHUNK
+# byte-columns keeps every f32 partial sum < 2^24 (bf16 inputs hold 0..255
+# exactly, accumulation in f32), so the MXU result is exact; chunk partials
+# are then accumulated in uint32 (positions stay < 2^26, see _carry_pack).
+# ---------------------------------------------------------------------------
+
+_CONV_CHUNK = 256  # 256 * 255^2 < 2^24: f32 accumulation stays exact
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_matrix_np(m: Modulus, rows_key):
+    """rows_key: tuple of tuples of plain ints (mod q), [dout][din].
+    Returns float32 conv-folded matrix [din*DB, dout*S]."""
+    rows = rows_key
+    dout, din = len(rows), len(rows[0])
+    nl = m.nl
+    R = 1 << (32 * nl)
+    adj = np.array(
+        [[v * R * (1 << 32) % m.q for v in row] for row in rows], dtype=object
+    )
+    planes = _np_planes(m.encode(adj))  # [dout, din, 4nl] u8
+    DA = DB = 4 * nl
+    S = DA + DB - 1
+    C = np.zeros((din * DB, dout * S), dtype=np.float32)
+    for j in range(DB):
+        for i in range(DA):
+            # x byte j of din column  x  matrix byte i  ->  position s = i + j
+            C[j::DB, (i + j)::S] = planes[:, :, i].T
+    return C
+
+
+def conv_apply(m: Modulus, C, dout: int, x):
+    """y = W x via the conv-folded constant matrix ``C`` (device bf16 array
+    [din*DB, dout*S]). ``x``: [..., din, nl] u32 Montgomery.
+    Returns [..., dout, nl] u32 Montgomery (standard domain)."""
+    nl = m.nl
+    DA = DB = 4 * nl
+    S = DA + DB - 1
+    KB = C.shape[0]
+    xb = to_planes(x).reshape(x.shape[:-2] + (KB,)).astype(jnp.bfloat16)
+    upos = None
+    for lo in range(0, KB, _CONV_CHUNK):
+        hi = min(KB, lo + _CONV_CHUNK)
+        y = jax.lax.dot_general(
+            xb[..., lo:hi], C[lo:hi],
+            (((xb.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        yu = y.astype(jnp.uint32)
+        upos = yu if upos is None else upos + yu
+    u = upos.reshape(upos.shape[:-1] + (dout, S))
+    u_list = [u[..., s] for s in range(S)]
+    t_limbs = _carry_pack(u_list, 2 * nl + 1)
+    return _redc_wide(m, t_limbs)
+
+
+@functools.lru_cache(maxsize=None)
+def _crt_conv_np(ring: Ring, which: str):
+    rows = {"crt": ring.crt_rows, "icrt": ring.icrt_rows}[which]
+    return _conv_matrix_np(ring.fq, tuple(tuple(r) for r in rows))
+
+
+# ---------------------------------------------------------------------------
 # ring-level wrappers
 # ---------------------------------------------------------------------------
 
@@ -238,27 +313,23 @@ def _crt_planes_np(ring: Ring, which: str):
     return host_planes(ring.fq, mont)
 
 
-# Batch chunk for the CRT/ICRT matmuls: the plane product materializes an
-# int32 [d, DA, Nc, DB] intermediate (~d*64*Nc*4 bytes); 2^16 keeps it ~400MB
-# at d=24 — safely inside HBM while staying MXU-saturating.
-_CRT_N_CHUNK = 1 << 16
+# Batch chunk for the CRT/ICRT transforms: measured on TPU v5e the conv
+# matmul runs at full speed with 2^15-row blocks and degrades sharply above
+# 2^16 (intermediate layout pathology); keep blocks in the fast regime.
+_CRT_N_CHUNK = 1 << 15
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _crt_block(ring: Ring, coeffs):
-    planes = jnp.asarray(_crt_planes_np(ring, "crt"))
-    rhs = jnp.moveaxis(coeffs, 0, 1)  # [d, Nc, nl]
-    out = fq_matmul(ring.fq, planes, rhs)  # [d, Nc, nl]
-    out = jnp.moveaxis(out, 1, 0)
+    C = jnp.asarray(_crt_conv_np(ring, "crt"), dtype=jnp.bfloat16)
+    out = conv_apply(ring.fq, C, ring.d, coeffs)  # [Nc, d, nl]
     return out.reshape(out.shape[0], ring.ncomp, ring.e, ring.nl)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _icrt_block(ring: Ring, x):
-    planes = jnp.asarray(_crt_planes_np(ring, "icrt"))
-    rhs = jnp.moveaxis(x.reshape(x.shape[0], ring.d, ring.nl), 0, 1)
-    out = fq_matmul(ring.fq, planes, rhs)
-    return jnp.moveaxis(out, 1, 0)
+    C = jnp.asarray(_crt_conv_np(ring, "icrt"), dtype=jnp.bfloat16)
+    return conv_apply(ring.fq, C, ring.d, x.reshape(x.shape[0], ring.d, ring.nl))
 
 
 def _chunked(block_fn, x, chunk: int):

@@ -53,16 +53,73 @@ def _device_mat(ring: Ring, which: str):
     return np.ascontiguousarray(np.transpose(mat, (1, 0, 2)))
 
 
+# Chunk for the conv-folded CRT batch axis: measured on TPU v5e, the
+# [N, d*S] f32 position intermediate performs well at N = 2^15 and falls off
+# a cliff at 2^17 (layout/spill pathology); chunking keeps every block in the
+# fast regime. Chunking happens at the Python level so it works both eagerly
+# (separately jitted blocks) and inside an enclosing trace (static slices).
+_CRT_CHUNK = 1 << 15
+
+
 @functools.partial(jax.jit, static_argnums=0)
+def _crt_block(ring: Ring, coeffs):
+    from . import mxu
+
+    C = jnp.asarray(mxu._crt_conv_np(ring, "crt"), dtype=jnp.bfloat16)
+    flat = mxu.conv_apply(ring.fq, C, ring.d, coeffs)
+    return flat.reshape(flat.shape[:-2] + (ring.ncomp, ring.e, ring.nl))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _icrt_block(ring: Ring, x):
+    from . import mxu
+
+    flat = x.reshape(x.shape[:-3] + (ring.d, ring.nl))
+    C = jnp.asarray(mxu._crt_conv_np(ring, "icrt"), dtype=jnp.bfloat16)
+    return mxu.conv_apply(ring.fq, C, ring.d, flat)
+
+
+def _chunked_rows(block_fn, x, tail_ndim: int):
+    """Apply block_fn over the flattened leading axes of x in _CRT_CHUNK rows."""
+    lead = x.shape[:-tail_ndim]
+    flat = x.reshape((-1,) + x.shape[-tail_ndim:])
+    N = flat.shape[0]
+    if N <= _CRT_CHUNK:
+        out = block_fn(flat)
+    else:
+        outs = [
+            block_fn(flat[i : min(N, i + _CRT_CHUNK)])
+            for i in range(0, N, _CRT_CHUNK)
+        ]
+        out = jnp.concatenate(outs, axis=0)
+    return out.reshape(lead + out.shape[1:])
+
+
 def crt(ring: Ring, coeffs):
-    """[..., d, nl] coefficient form -> [..., ncomp, e, nl] NTT form."""
+    """[..., d, nl] coefficient form -> [..., ncomp, e, nl] NTT form.
+
+    Conv-folded MXU transform (rings/mxu.py): one bf16 matmul against the
+    precomputed byte-position-folded CRT matrix plus the carry/REDC epilogue.
+    Bit-identical to the streamed VPU `mat_apply` path (both canonical mod q).
+    """
+    return _chunked_rows(functools.partial(_crt_block, ring), coeffs, 2)
+
+
+def icrt(ring: Ring, x):
+    """[..., ncomp, e, nl] NTT form -> [..., d, nl] coefficient form."""
+    return _chunked_rows(functools.partial(_icrt_block, ring), x, 3)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def crt_vpu(ring: Ring, coeffs):
+    """Streamed VPU reference path for crt (differential testing)."""
     flat = mat_apply(ring.fq, _device_mat(ring, "crt"), coeffs)
     return flat.reshape(flat.shape[:-2] + (ring.ncomp, ring.e, ring.nl))
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def icrt(ring: Ring, x):
-    """[..., ncomp, e, nl] NTT form -> [..., d, nl] coefficient form."""
+def icrt_vpu(ring: Ring, x):
+    """Streamed VPU reference path for icrt (differential testing)."""
     flat = x.reshape(x.shape[:-3] + (ring.d, ring.nl))
     return mat_apply(ring.fq, _device_mat(ring, "icrt"), flat)
 

@@ -145,80 +145,126 @@ def _round_evs(ring: Ring, comb: CombFn, degree: int, cur, consts, mask=None):
     return jnp.stack(evs)
 
 
-@functools.lru_cache(maxsize=None)
-def _device_prove_fn(comb: CombFn, nvars: int, degree: int, idx0: int, abs0: bool):
-    """Whole-sumcheck prover with a device-resident Fiat-Shamir transcript:
-    ONE XLA program for all rounds (zero per-round host syncs).
+def trace_prove(sp, mles, nvars: int, degree: int, comb: CombFn, consts=()):
+    """Sumcheck prover over an existing TraceSponge, usable inside any jit
+    trace (the whole-NIFS device step inlines this twice).
+
+    Absorbs nvars/degree, runs all rounds, and leaves ``sp`` at the
+    post-sumcheck duplex state. Returns (evals [nvars, degree+1, ring...],
+    chals [nvars, e, nl], finals [nm, ring...]).
 
     Rounds with table size > _PAD_THRESHOLD are unrolled at their natural
     (shrinking) shapes; the tail runs as a lax.scan over a fixed padded
     buffer. The scan is valid because every round >= 1 starts at the same
-    duplex bookkeeping (absorbing, index=e): each round ends with a
-    squeeze->absorb(e) transition, which permutes and rewinds the index.
+    duplex bookkeeping: each round ends with a squeeze -> absorb(e) ->
+    absorb(d) transition, and the squeeze rewinds the index.
     """
     ring = comb.ring
+    sp.absorb_ring(_embed_int_dev(ring, nvars))
+    sp.absorb_ring(_embed_int_dev(ring, degree))
 
     # unroll while size > threshold; scanned rounds must start at round >= 1
     n_unroll = max(1, nvars - _PAD_THRESHOLD.bit_length() + 1)
     n_unroll = min(n_unroll, nvars)
     n_scan = nvars - n_unroll
 
-    # uniform round-entry bookkeeping for rounds >= 1: every round ends with
-    # squeeze(e) -> absorb(e) -> absorb(d), and the squeeze rewinds the index,
-    # so the entry index is independent of history.
+    # uniform round-entry bookkeeping for rounds >= 1 (see docstring)
     g = dtr.GhostSponge(ring, 0, True)
     g.squeeze(ring.e)
     g.absorb(ring.e)
     g.absorb(ring.d)
     idx_round = g.index
 
+    cur = mles
+    evs_list, chal_list = [], []
+    for _ in range(n_unroll):
+        evs = _round_evs(ring, comb, degree, cur, consts)
+        sp.absorb_ring(evs)
+        c = sp.get_challenge()
+        sp.absorb_field_element(c)
+        evs_list.append(evs)
+        chal_list.append(c)
+        cur = mlemod.fold(ring, cur, c)
+
+    if n_scan:
+        assert sp.absorbing and sp.index == idx_round, (
+            "scanned rounds assume the uniform round-entry duplex state"
+        )
+        S = cur.shape[1]
+        masks = np.zeros((n_scan, S // 2, 1, 1, 1), dtype=bool)
+        for r in range(n_scan):
+            masks[r, : (S >> (r + 1))] = True
+
+        def body(carry, mask):
+            st, buf = carry
+            spr = dtr.TraceSponge(ring, st, idx_round, True)
+            evs = _round_evs(ring, comb, degree, buf, consts, mask)
+            # XLA:CPU miscompiles this scan without the barrier: the carry
+            # buffer is updated in place by the fold while the round
+            # message is still being read out of it (silent corruption at
+            # degree >= 3 — see tests/test_fusion_audit.py). The barrier
+            # forces the message to materialize before the fold writes.
+            buf, evs = jax.lax.optimization_barrier((buf, evs))
+            spr.absorb_ring(evs)
+            c = spr.get_challenge()
+            spr.absorb_field_element(c)
+            folded = mlemod.fold(ring, buf, c)
+            folded = jnp.where(mask, folded, jnp.uint32(0))
+            buf = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+            return (spr.state, buf), (evs, c)
+
+        (state, cur), (evs_sc, chal_sc) = jax.lax.scan(
+            body, (sp.state, cur), jnp.asarray(masks)
+        )
+        sp.state = state  # index/absorbing bookkeeping is schedule-uniform:
+        for _ in range(n_scan):  # replay the per-round schedule on the ghost
+            sp_ghost_round(sp, ring, degree)
+        evals = jnp.concatenate([jnp.stack(evs_list), evs_sc])
+        chals = jnp.concatenate([jnp.stack(chal_list), chal_sc])
+        finals = cur[:, 0]
+    else:
+        evals = jnp.stack(evs_list)
+        chals = jnp.stack(chal_list)
+        finals = jnp.squeeze(cur, axis=1)
+    return evals, chals, finals
+
+
+def sp_ghost_round(sp, ring: Ring, degree: int):
+    """Advance a TraceSponge's trace-time (index, absorbing) bookkeeping by
+    one sumcheck round's schedule without touching the state array (used
+    after a lax.scan whose body already applied the state updates)."""
+    g = dtr.GhostSponge(ring, sp.index, sp.absorbing)
+    g.absorb((degree + 1) * ring.d)
+    g.squeeze(ring.e)
+    g.absorb(ring.e)
+    g.absorb(ring.d)
+    sp.index, sp.absorbing = g.index, g.absorbing
+
+
+@functools.lru_cache(maxsize=None)
+def _embed_int_np(ring: Ring, v: int):
+    R = 1 << (32 * ring.nl)
+    vals = np.zeros((ring.ncomp, ring.e), dtype=object)
+    vals[:, 0] = v % ring.q * R % ring.q
+    return ring.fq.encode(vals)
+
+
+def _embed_int_dev(ring: Ring, v: int):
+    """Diagonal ring embedding of a small int as a device constant [c, e, nl]."""
+    return jnp.asarray(_embed_int_np(ring, v))
+
+
+@functools.lru_cache(maxsize=None)
+def _device_prove_fn(comb: CombFn, nvars: int, degree: int, idx0: int, abs0: bool):
+    """Whole-sumcheck prover with a device-resident Fiat-Shamir transcript:
+    ONE XLA program for all rounds (zero per-round host syncs)."""
+    ring = comb.ring
+
     @jax.jit
     def run(mles, consts, state0):
         sp = dtr.TraceSponge(ring, state0, idx0, abs0)
-        cur = mles
-        evs_list, chal_list = [], []
-        for _ in range(n_unroll):
-            evs = _round_evs(ring, comb, degree, cur, consts)
-            sp.absorb_ring(evs)
-            c = sp.get_challenge()
-            sp.absorb_field_element(c)
-            evs_list.append(evs)
-            chal_list.append(c)
-            cur = mlemod.fold(ring, cur, c)
-
-        if n_scan:
-            assert sp.absorbing and sp.index == idx_round, (
-                "scanned rounds assume the uniform round-entry duplex state"
-            )
-            S = cur.shape[1]
-            masks = np.zeros((n_scan, S // 2, 1, 1, 1), dtype=bool)
-            for r in range(n_scan):
-                masks[r, : (S >> (r + 1))] = True
-
-            def body(carry, mask):
-                st, buf = carry
-                spr = dtr.TraceSponge(ring, st, idx_round, True)
-                evs = _round_evs(ring, comb, degree, buf, consts, mask)
-                spr.absorb_ring(evs)
-                c = spr.get_challenge()
-                spr.absorb_field_element(c)
-                folded = mlemod.fold(ring, buf, c)
-                folded = jnp.where(mask, folded, jnp.uint32(0))
-                buf = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
-                return (spr.state, buf), (evs, c)
-
-            (state, cur), (evs_sc, chal_sc) = jax.lax.scan(
-                body, (sp.state, cur), jnp.asarray(masks)
-            )
-            evals = jnp.concatenate([jnp.stack(evs_list), evs_sc])
-            chals = jnp.concatenate([jnp.stack(chal_list), chal_sc])
-            finals = cur[:, 0]
-        else:
-            state = sp.state
-            evals = jnp.stack(evs_list)
-            chals = jnp.stack(chal_list)
-            finals = jnp.squeeze(cur, axis=1)
-        return evals, chals, finals, state
+        evals, chals, finals = trace_prove(sp, mles, nvars, degree, comb, consts)
+        return evals, chals, finals, sp.state
 
     return run
 
@@ -226,6 +272,8 @@ def _device_prove_fn(comb: CombFn, nvars: int, degree: int, idx0: int, abs0: boo
 def _ghost_final(ring: Ring, nvars: int, degree: int, idx0: int, abs0: bool):
     """Final (index, absorbing) of the device sumcheck's sponge."""
     g = dtr.GhostSponge(ring, idx0, abs0)
+    g.absorb(ring.d)  # nvars embed (absorbed on device by trace_prove)
+    g.absorb(ring.d)  # degree embed
     for _ in range(nvars):
         g.absorb((degree + 1) * ring.d)
         g.squeeze(ring.e)
@@ -250,8 +298,6 @@ def prove(
     final_vals[i] = mle_i(r) — the fully folded tables (free evaluation claims).
     """
     assert mles.shape[1] == 1 << nvars
-    transcript.absorb(ring.embed_int(nvars))
-    transcript.absorb(ring.embed_int(degree))
     state0, idx0, abs0 = dtr.export_state(ring, transcript)
     fn = _device_prove_fn(comb, nvars, degree, idx0, abs0)
     evals, chals, finals, state1 = fn(mles, comb_consts, state0)

@@ -218,6 +218,60 @@ class GhostSponge:
 
 
 # ---------------------------------------------------------------------------
+# device short challenges (byte-exact port of transcript/__init__.py decoders:
+# squeeze_bytes truncation per poseidon.py:117-125, per-ring decode per
+# cyclotomic-rings/src/rings/{goldilocks,babybear,stark,frog}.rs)
+# ---------------------------------------------------------------------------
+
+
+def _bytes_needed(ring: Ring) -> int:
+    return {"goldilocks": 18, "babybear": 18, "stark": 16, "frog": 16}[ring.name]
+
+
+def squeeze_bytes_trace(sp: TraceSponge, n: int):
+    """Squeeze n sponge bytes inside a trace. Returns a list of n uint32
+    scalars (each 0..255), matching PoseidonSponge.squeeze_bytes."""
+    ring = sp.ring
+    usable = (ring.q.bit_length() - 1) // 8
+    nelems = -(-n // usable)
+    elems = sp.squeeze(nelems)  # [nelems, nl] Montgomery
+    canon = mo.from_mont(ring.fq, elems)
+    out = []
+    for i in range(nelems):
+        for b in range(usable):
+            if len(out) == n:
+                break
+            out.append((canon[i, b // 4] >> jnp.uint32(8 * (b % 4))) & jnp.uint32(0xFF))
+    return out
+
+
+def short_challenge_trace(sp: TraceSponge):
+    """One short (low-norm) challenge inside a trace: returns the coefficient
+    vector as canonical limbs [d, nl] (uint32). Bit-exact vs the host
+    Transcript.get_short_challenge decode."""
+    ring = sp.ring
+    bs = squeeze_bytes_trace(sp, _bytes_needed(ring))
+    if ring.name in ("goldilocks", "babybear"):
+        digs = []
+        for i in range(6):
+            b0, b1, b2 = bs[3 * i], bs[3 * i + 1], bs[3 * i + 2]
+            x0 = (b0 & jnp.uint32(0x3F)).astype(jnp.int32) - 32
+            x1 = (((b0 & jnp.uint32(0xC0)) >> 6) | ((b1 & jnp.uint32(0x0F)) << 2)).astype(jnp.int32) - 32
+            x2 = (((b1 & jnp.uint32(0xF0)) >> 4) | ((b2 & jnp.uint32(0x03)) << 4)).astype(jnp.int32) - 32
+            x3 = ((b2 & jnp.uint32(0xFC)) >> 2).astype(jnp.int32) - 32
+            digs.extend([x0, x1, x2, x3])
+        # BabyBear: only the first 24 of 72 coefficients are filled
+        digs = digs + [jnp.int32(0)] * (ring.d - 24)
+    elif ring.name == "stark":
+        digs = [b.astype(jnp.int32) for b in bs]
+    elif ring.name == "frog":
+        digs = [b.astype(jnp.int32) - 128 for b in bs]
+    else:
+        raise ValueError(ring.name)
+    return mo.digits_to_field(ring.fq, jnp.stack(digs))  # [d, nl] canonical
+
+
+# ---------------------------------------------------------------------------
 # host <-> device sponge state bridging
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,83 @@
+"""Differential test: the single-dispatch device NIFS step must produce
+byte-identical proofs, folded instances, witnesses, and transcript states
+vs the modular host-orchestrated prover (nifs/__init__.py)."""
+
+import numpy as np
+import pytest
+
+import latticefold_tpu.nifs as nifs
+import latticefold_tpu.nifs.linearization as linearization
+import latticefold_tpu.rings.ops as rops
+from latticefold_tpu.arith.ccs import CCCS, CCS, get_test_r1cs, get_test_z_split
+from latticefold_tpu.arith.witness import Witness
+from latticefold_tpu.commitment import AjtaiScheme
+from latticefold_tpu.nifs.device_step import DeviceNIFS
+from latticefold_tpu.params import DP_FROG, DP_GOLDILOCKS
+from latticefold_tpu.rings.construct import get_ring
+from latticefold_tpu.transcript import Transcript
+
+KAPPA = 4
+
+
+def _setup(name, dp, inp=3):
+    ring = get_ring(name)
+    r1cs = get_test_r1cs(ring)
+    ccs = CCS.from_r1cs_padded(ring, r1cs, W=4, L=dp.L)
+    one, x_ccs, w_host = get_test_z_split(ring, inp)
+    scheme = AjtaiScheme(ring, KAPPA, len(w_host) * dp.L, seed=7)
+    w_dev = rops.to_device(ring, w_host)
+    wit = Witness.from_w_ccs(ring, dp, w_dev, n_pad=ccs.m)
+    cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+    acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
+    return ring, ccs, scheme, cm_i, wit, acc
+
+
+@pytest.mark.parametrize(
+    "name,dp", [("goldilocks", DP_GOLDILOCKS), ("frog", DP_FROG)]
+)
+def test_device_step_matches_modular(name, dp):
+    ring, ccs, scheme, cm_i, wit, acc = _setup(name, dp)
+
+    t_mod = Transcript(ring)
+    folded_m, w0_m, proof_m = nifs.prove(acc, wit, cm_i, wit, t_mod, ccs, scheme, dp)
+
+    t_dev = Transcript(ring)
+    step = DeviceNIFS(ccs, dp, scheme)
+    folded_d, w0_d, proof_d = step.prove(acc, wit, cm_i, wit, t_dev)
+
+    # transcript continuity: both sponges end in the identical duplex state
+    assert t_mod.snapshot_state() == t_dev.snapshot_state()
+
+    # folded accumulator equality
+    assert folded_d.r == folded_m.r
+    assert folded_d.v == folded_m.v
+    assert folded_d.cm == folded_m.cm
+    assert folded_d.u == folded_m.u
+    assert folded_d.x_w == folded_m.x_w
+    assert folded_d.h == folded_m.h
+
+    # folded witness equality (device arrays)
+    assert (np.asarray(w0_d.f) == np.asarray(w0_m.f)).all()
+    assert (np.asarray(w0_d.f_hat) == np.asarray(w0_m.f_hat)).all()
+
+    # proof equality, piece by piece
+    pm, pd = proof_m.linearization_proof, proof_d.linearization_proof
+    assert pd.sumcheck.round_evals == pm.sumcheck.round_evals
+    assert pd.v == pm.v and pd.u == pm.u
+    for dm, dd in (
+        (proof_m.decomposition_proof_l, proof_d.decomposition_proof_l),
+        (proof_m.decomposition_proof_r, proof_d.decomposition_proof_r),
+    ):
+        assert dd.u_s == dm.u_s
+        assert dd.v_s == dm.v_s
+        assert dd.x_s == dm.x_s
+        assert [y.vals for y in dd.y_s] == [y.vals for y in dm.y_s]
+    fm, fd = proof_m.folding_proof, proof_d.folding_proof
+    assert fd.sumcheck.round_evals == fm.sumcheck.round_evals
+    assert fd.theta_s == fm.theta_s
+    assert fd.eta_s == fm.eta_s
+
+    # and the device-produced proof verifies
+    folded_v = nifs.verify(acc, cm_i, proof_d, Transcript(ring), ccs, dp)
+    assert folded_v.v == folded_d.v
+    assert folded_v.cm == folded_d.cm

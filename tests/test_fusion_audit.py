@@ -120,3 +120,31 @@ def test_fused_mxu_matmul():
     planes = mxu.ajtai_precompute(ring, A)
     got, ref = _jit_vs_eager(lambda p, x: mxu.ajtai_commit(ring, p, x), planes, f)
     assert (got == ref).all()
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "frog"])
+def test_scan_carry_aliasing(name):
+    """Regression: XLA:CPU miscompiles a lax.scan whose per-step output is
+    read from the carry buffer that the same step overwrites (the sumcheck
+    round message vs the fold). The device sumcheck must match the
+    host-transcript reference prover round by round (degree 3 triggered it)."""
+    import latticefold_tpu.sumcheck as sc
+    from latticefold_tpu.transcript import Transcript
+
+    ring = get_ring(name)
+    rng = np.random.default_rng(7)
+    nvars, nm, degree = 5, 4, 3
+    mles = rand_ring(ring, rng, (nm, 1 << nvars))
+
+    def fn(v, consts):
+        t = rops.ring_mul(ring, v[0], v[1])
+        t = rops.ring_sub(ring, t, v[2])
+        return rops.ring_mul(ring, t, v[3])
+
+    comb = sc.CombFn(ring, fn, key=f"audit-scan:{name}")
+    pa, ca, fa = sc.prove(ring, Transcript(ring), mles, nvars, degree, comb)
+    pb, cb, fb = sc.prove_host(ring, Transcript(ring), mles, nvars, degree, comb)
+    assert ca == cb
+    for r in range(nvars):
+        assert pa.round_evals[r] == pb.round_evals[r], f"round {r} diverged"
+    assert (np.asarray(fa) == np.asarray(fb)).all()

@@ -87,3 +87,26 @@ def test_mul_by_x_matches(name):
     x_poly = [0, 1] + [0] * (ring.d - 2)
     oracle = poly_mulmod_naive(ring, a, x_poly)
     assert shifted == oracle
+
+
+@pytest.mark.parametrize("name", RINGS)
+def test_crt_conv_matches_vpu(name):
+    """The conv-folded MXU crt/icrt (rings/mxu.py conv_apply) must be
+    bit-identical to the streamed VPU path on random batches."""
+    import jax.numpy as jnp
+
+    ring = get_ring(name)
+    rng = np.random.default_rng(11)
+    N = 37  # deliberately not a power of two
+    R = 1 << (32 * ring.nl)
+    vals = rng.integers(0, 1 << 63, size=(N, ring.d), dtype=np.uint64).astype(object)
+    vals %= ring.q
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(vals)
+    coeffs = jnp.asarray(ring.fq.encode(mont))
+    a = np.asarray(rops.crt(ring, coeffs))
+    b = np.asarray(rops.crt_vpu(ring, coeffs))
+    assert (a == b).all()
+    x = rops.crt(ring, coeffs)
+    ai = np.asarray(rops.icrt(ring, x))
+    bi = np.asarray(rops.icrt_vpu(ring, x))
+    assert (ai == bi).all()
