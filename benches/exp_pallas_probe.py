@@ -1,0 +1,109 @@
+"""Probe Mosaic/Pallas capabilities needed by the fused Ajtai commit kernel:
+u32->u8 bitcast lane expansion, u8xu8->i32 matmul, bf16 fallback."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+
+    # --- probe 1: bitcast u32 -> u8 inside a kernel -------------------------
+    x32 = jnp.asarray(rng.integers(0, 1 << 32, size=(8, 128), dtype=np.uint64).astype(np.uint32))
+
+    def k_bitcast(x_ref, o_ref):
+        o_ref[:] = pltpu.bitcast(x_ref[:], jnp.uint8)
+
+    try:
+        out = pl.pallas_call(
+            k_bitcast,
+            out_shape=jax.ShapeDtypeStruct((8, 512), jnp.uint8),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x32)
+        host = np.asarray(out)
+        ref = np.asarray(x32).view(np.uint8).reshape(8, 512)
+        _emit(probe="bitcast_u32_u8", ok=bool((host == ref).all()))
+    except Exception as e:  # noqa
+        _emit(probe="bitcast_u32_u8", ok=False, err=str(e)[:200])
+
+    # --- probe 2: u8 x u8 -> i32 dot ---------------------------------------
+    A = jnp.asarray(rng.integers(0, 255, size=(128, 256), dtype=np.uint8))
+    B = jnp.asarray(rng.integers(0, 255, size=(256, 128), dtype=np.uint8))
+
+    def k_dot_u8(a_ref, b_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    try:
+        out = pl.pallas_call(
+            k_dot_u8,
+            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(A, B)
+        ref = np.asarray(A).astype(np.int64) @ np.asarray(B).astype(np.int64)
+        _emit(probe="dot_u8", ok=bool((np.asarray(out) == ref).all()))
+    except Exception as e:  # noqa
+        _emit(probe="dot_u8", ok=False, err=str(e)[:200])
+
+    # --- probe 3: u8 -> bf16 convert + dot with f32 accum -------------------
+    def k_dot_bf(a_ref, b_ref, o_ref):
+        a = a_ref[:].astype(jnp.bfloat16)
+        b = b_ref[:].astype(jnp.bfloat16)
+        o_ref[:] = jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    try:
+        out = pl.pallas_call(
+            k_dot_bf,
+            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(A[:, :128], B[:128])
+        ref = np.asarray(A[:, :128]).astype(np.int64) @ np.asarray(B[:128]).astype(np.int64)
+        _emit(probe="dot_u8_via_bf16", ok=bool((np.asarray(out).astype(np.int64) == ref).all()))
+    except Exception as e:  # noqa
+        _emit(probe="dot_u8_via_bf16", ok=False, err=str(e)[:200])
+
+    # --- probe 4: minor-dim merge reshape [BK, X, nl] -> [BK, X*nl] ---------
+    y = jnp.asarray(rng.integers(0, 1 << 32, size=(8, 16, 4), dtype=np.uint64).astype(np.uint32))
+
+    def k_merge(y_ref, o_ref):
+        o_ref[:] = y_ref[:].reshape(8, 64)
+
+    try:
+        out = pl.pallas_call(
+            k_merge,
+            out_shape=jax.ShapeDtypeStruct((8, 64), jnp.uint32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(y)
+        _emit(probe="minor_merge_reshape", ok=bool((np.asarray(out) == np.asarray(y).reshape(8, 64)).all()))
+    except Exception as e:  # noqa
+        _emit(probe="minor_merge_reshape", ok=False, err=str(e)[:200])
+
+
+if __name__ == "__main__":
+    main()

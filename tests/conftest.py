@@ -2,8 +2,11 @@ import os
 import sys
 
 # CPU backend with 8 virtual devices for sharding tests; uint32 kernels are
-# bit-identical between CPU and TPU backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# bit-identical between CPU and TPU backends. FORCE cpu: the driver
+# environment presets JAX_PLATFORMS=axon (tunneled TPU plugin), and running
+# the test suite over the tunnel serializes every dispatch behind a TCP round
+# trip (30-60 min suite runs) and contends with benchmark jobs for the chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
