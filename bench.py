@@ -26,14 +26,22 @@ sys.path.insert(0, HERE)
 
 
 def _rand_ring_batch(ring, rng, shape):
+    """Uniform residues < q, drawn directly as little-endian u32 limbs (the
+    Montgomery representative of a uniform element is uniform, so no object-
+    int encode pass is needed — the old np.vectorize path took minutes at
+    bench shapes)."""
     import jax.numpy as jnp
     import numpy as np
 
-    ints = rng.integers(0, 1 << 62, size=tuple(shape) + (ring.ncomp, ring.e), dtype=np.uint64).astype(object)
-    ints %= ring.q
-    R = 1 << (32 * ring.nl)
-    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints)
-    return jnp.asarray(ring.fq.encode(mont))
+    assert ring.nl <= 2 and ring.q < (1 << 64)
+    full = tuple(shape) + (ring.ncomp, ring.e)
+    ints = rng.integers(0, ring.q, size=full, dtype=np.uint64)
+    limbs = np.stack(
+        [(ints & 0xFFFFFFFF).astype(np.uint32)]
+        + ([(ints >> 32).astype(np.uint32)] if ring.nl == 2 else []),
+        axis=-1,
+    )
+    return jnp.asarray(limbs)
 
 
 def main():
@@ -87,9 +95,15 @@ def main():
         return jax.lax.fori_loop(0, iters, body, init)
 
     np.asarray(commit_loop(planes, f0))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(commit_loop(planes, f0))
-    dt = time.perf_counter() - t0
+    # median-of-N: snapshot-to-snapshot deltas should reflect code changes,
+    # not environment noise (ADVICE.md round 1)
+    reps = 5 if on_tpu else 2
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(commit_loop(planes, f0))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
     commits_per_s = iters * batch / dt
 
     # side metric: CRT (NTT) throughput, elements/s at the witness shape
@@ -100,14 +114,17 @@ def main():
     n_crt = coeffs.shape[0]
     crt_out = mxu.crt(ring, coeffs)
     np.asarray(crt_out)
-    t0 = time.perf_counter()
     crt_iters = 10 if on_tpu else 2
-    acc = None
-    for _ in range(crt_iters):
-        o = mxu.crt(ring, coeffs)
-        acc = o if acc is None else acc ^ o
-    np.asarray(acc)
-    crt_dt = time.perf_counter() - t0
+    crt_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(crt_iters):
+            o = mxu.crt(ring, coeffs)
+            acc = o if acc is None else acc ^ o
+        np.asarray(acc)
+        crt_times.append(time.perf_counter() - t0)
+    crt_dt = sorted(crt_times)[len(crt_times) // 2]
     crt_elems_per_s = crt_iters * n_crt / crt_dt
     # one butterfly-equivalent ~ d log2(d) per element for an FFT-style NTT
     import math
@@ -120,10 +137,17 @@ def main():
         "ajtai_shape": {"kappa": kappa, "n": n, "batch": batch},
         "crt_elements_per_s": crt_elems_per_s,
         "ntt_butterfly_equiv_per_s": butterflies_per_s,
+        "methodology": {
+            "timing": f"median of {reps} repetitions",
+            "warmup": "1 full jitted loop (compile + warm)",
+            "ajtai_raw_times_s": [round(t, 4) for t in times],
+            "crt_raw_times_s": [round(t, 4) for t in crt_times],
+        },
     }
     try:
         with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as fh:
             json.dump(details, fh, indent=1)
+            fh.write("\n")
     except OSError:
         pass
 

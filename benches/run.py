@@ -124,6 +124,17 @@ def main():
                 )
                 _emit(bench="nifs_prove", ring=ring_name, m=ccs.m, K=dp.K,
                       seconds=dt, backend=backend)
+                # fused single-dispatch device prover (nifs/device_step.py):
+                # same proof bytes, zero per-round host<->device syncs
+                from latticefold_tpu.nifs.device_step import DeviceNIFS
+
+                step = DeviceNIFS(ccs, dp, scheme)
+                dt = timeit(
+                    lambda: step.prove(acc, wit, cm_i, wit, Transcript(ring)),
+                    warm=1, reps=max(1, iters // 2),
+                )
+                _emit(bench="nifs_prove_fused", ring=ring_name, m=ccs.m, K=dp.K,
+                      seconds=dt, backend=backend)
             _, _, proof = nifs.prove(acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp)
             if _filter("verifier", "BENCH_ROLES"):
                 dt = timeit(lambda: nifs.verify(acc, cm_i, proof, Transcript(ring), ccs, dp))

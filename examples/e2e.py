@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--x-len", type=int, default=1)
     ap.add_argument("--kappa", type=int, default=4)
     ap.add_argument("--steps", type=int, default=1, help="IVC fold steps")
+    ap.add_argument("--fused", action="store_true",
+                    help="single-dispatch device prover (nifs/device_step.py)")
     args = ap.parse_args()
 
     import jax
@@ -71,12 +73,21 @@ def main():
     w_acc = wit
     print(f"Setup in {time.perf_counter() - t0:.3f}s (includes first compiles)")
 
+    fused = None
+    if args.fused:
+        from latticefold_tpu.nifs.device_step import DeviceNIFS
+
+        fused = DeviceNIFS(ccs, dp, scheme)
+
     vacc = acc  # verifier's view of the accumulator before each fold
     proofs = []
     for step in range(args.steps):
         tp = Transcript(ring)
         t0 = time.perf_counter()
-        acc, w_acc, proof = nifs.prove(acc, w_acc, cm_i, wit, tp, ccs, scheme, dp)
+        if fused is not None:
+            acc, w_acc, proof = fused.prove(acc, w_acc, cm_i, wit, tp)
+        else:
+            acc, w_acc, proof = nifs.prove(acc, w_acc, cm_i, wit, tp, ccs, scheme, dp)
         proofs.append(proof)
         print(f"step {step}: proof generated in {time.perf_counter() - t0:.3f}s")
 
