@@ -18,7 +18,7 @@ def _emit(**kw):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax"))
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl

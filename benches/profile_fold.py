@@ -213,9 +213,9 @@ def profile_nifs():
     # decomposition internals
     acc.wrap(dec, "decompose_witness", "dec.decompose_witness")
     acc.wrap(dec, "decompose_big_vec_into_k_vec_and_compose_back", "dec.x_split")
-    acc.wrap(dec, "calculate_Mz_mles", "dec.mz_mles")
+    acc.wrap(dec, "_dot_rows", "dec.u_dots")
     # folding internals
-    acc.wrap(fold, "prepare_folding_mles", "fold.prepare_mles")
+    acc.wrap(fold, "prepare_folding_mles_streaming", "fold.prepare_mles")
     acc.wrap(fold, "rot_lin_combination", "fold.rotsum")
     acc.wrap(fold, "fold_witnesses", "fold.fold_wit")
     # shared
@@ -247,7 +247,7 @@ def profile_nifs():
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     which = os.environ.get("PROFILE", "all")

@@ -37,7 +37,7 @@ def _emit(**kw):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -62,6 +62,16 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 3))
     x_len = 1
 
+    def timeit(fn, warm=1, reps=iters):
+        for _ in range(warm):
+            fn()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        if out is not None:
+            jax.block_until_ready(jax.tree.leaves(out)) if hasattr(jax, "tree") else None
+        return (time.perf_counter() - t0) / reps
+
     for ring_name in ("goldilocks", "frog", "babybear"):
         if not _filter(ring_name, "BENCH_RINGS"):
             continue
@@ -78,16 +88,6 @@ def main():
         )
         cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
         acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
-
-        def timeit(fn, warm=1, reps=iters):
-            for _ in range(warm):
-                fn()
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn()
-            if out is not None:
-                jax.block_until_ready(jax.tree.leaves(out)) if hasattr(jax, "tree") else None
-            return (time.perf_counter() - t0) / reps
 
         if _filter("ajtai", "BENCH_PHASES") and _filter("prover", "BENCH_ROLES"):
             dt = timeit(lambda: np.asarray(scheme.commit_device(wit.f)))
@@ -140,6 +140,74 @@ def main():
                 dt = timeit(lambda: nifs.verify(acc, cm_i, proof, Transcript(ring), ccs, dp))
                 _emit(bench="nifs_verify", ring=ring_name, m=ccs.m,
                       seconds=dt, backend=backend)
+
+    # ----------------------------------------------------------------------
+    # LatticeFold+ (mirrors crates/latticefold-plus/benches: linearize ->
+    # mlin (range check + commitment transformation) -> decompose, frog ring;
+    # witness scaling per the reference sweep 32K-512K, BENCH_PLUS_N)
+    # ----------------------------------------------------------------------
+    if _filter("plus", "BENCH_PHASES"):
+        import math
+
+        from latticefold_tpu.arith.sparse import SparseMatrix
+        from latticefold_tpu.plus import (
+            ComR1CS,
+            DecompParameters,
+            LinParameters,
+            PlusParameters,
+            PlusProver,
+            PlusTranscript,
+            PlusVerifier,
+            estimate_bound,
+        )
+        from latticefold_tpu.plus.r1cs import r1cs_decomposed_square
+
+        ring = get_ring("frog")
+        n_plus = int(os.environ.get("BENCH_PLUS_N", 1 << 15 if on_tpu else 1 << 8))
+        k = int(os.environ.get("BENCH_PLUS_K", 2))
+        m = n_plus // k
+        b = ring.d // 2
+        ell = math.ceil(math.log(ring.q) / math.log(b))
+        dpp = DecompParameters(b=b, k=k, l=ell)
+        kappa_p = int(os.environ.get("BENCH_PLUS_KAPPA", 2))
+        sop = ring.d * 128
+        B = estimate_bound(sop, 3, ring.d, k) + 1
+        params = LinParameters(kappa=kappa_p, decomp=dpp)
+        ident = SparseMatrix(ring, m, m, [[(1, i)] for i in range(m)])
+        A_, B_, C_ = r1cs_decomposed_square(ring, ident, ident, ident, n_plus, B, k)
+        scheme = AjtaiScheme(ring, kappa_p, n_plus, seed=7)
+        z = rops.to_device(
+            ring, [ring.crt_host([1] + [0] * (ring.d - 1)) for _ in range(m)]
+        )
+        c = ComR1CS.new(ring, [A_, B_, C_], z, 1, B, k, scheme)
+        pparams = PlusParameters(lin=params, B=B)
+
+        if _filter("prover", "BENCH_ROLES"):
+            def plus_prove():
+                prover = PlusProver(
+                    scheme=scheme, M=c.x.matrices,
+                    transcript=PlusTranscript(ring), params=pparams,
+                )
+                return prover.prove([c])
+
+            dt = timeit(plus_prove, warm=1, reps=max(1, iters // 2))
+            _emit(bench="plus_prove", ring="frog", n=n_plus, k=k,
+                  kappa=kappa_p, seconds=dt, backend=backend)
+        proof_p = PlusProver(
+            scheme=scheme, M=c.x.matrices,
+            transcript=PlusTranscript(ring), params=pparams,
+        ).prove([c])
+        if _filter("verifier", "BENCH_ROLES"):
+            def plus_verify():
+                v = PlusVerifier(
+                    ring=ring, M=c.x.matrices,
+                    transcript=PlusTranscript(ring), params=pparams,
+                )
+                return v.verify(proof_p)
+
+            dt = timeit(plus_verify)
+            _emit(bench="plus_verify", ring="frog", n=n_plus, k=k,
+                  kappa=kappa_p, seconds=dt, backend=backend)
 
 
 if __name__ == "__main__":

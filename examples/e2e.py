@@ -30,12 +30,16 @@ def main():
     ap.add_argument("--kappa", type=int, default=4)
     ap.add_argument("--steps", type=int, default=1, help="IVC fold steps")
     ap.add_argument("--fused", action="store_true",
-                    help="single-dispatch device prover (nifs/device_step.py)")
+                    help="single-dispatch device prover (nifs/device_step.py). "
+                         "NOTE: first compile of the fused program is expensive "
+                         "(minutes on CPU backends; can exceed 10 min for "
+                         "--wit-len >= 64 on slow hosts) — subsequent runs hit "
+                         "the persistent compile cache in .cache/jax")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -33,6 +33,22 @@ class SparseMatrix:
         self.ncols = ncols
         self.rows = rows
         self._dev = None
+        self._t = None
+
+    def transpose(self) -> "SparseMatrix":
+        """M^T as a SparseMatrix (cached). Built host-side once — constraint
+        matrices are static — so transpose SpMV reuses the ELL device kernel
+        instead of a TPU-hostile scatter. Enables the streaming evaluation
+        trick  mle[Mz](r) = <z, M^T eq_r>  (SURVEY.md §7.3: big-m memory
+        discipline) without retaining Mz tables."""
+        if self._t is None:
+            rows_t: List[List[Tuple]] = [[] for _ in range(self.ncols)]
+            for i, row in enumerate(self.rows):
+                for c, j in row:
+                    rows_t[j].append((c, i))
+            self._t = SparseMatrix(self.ring, self.ncols, self.nrows, rows_t)
+            self._t._t = self
+        return self._t
 
     @classmethod
     def from_dense(cls, ring: Ring, dense: Sequence[Sequence[int]]):
@@ -87,6 +103,11 @@ class SparseMatrix:
         """z: [ncols, ncomp, e, nl] -> [nrows, ncomp, e, nl]."""
         kind, cols, coeffs = self._device()
         return _spmv(self.ring, kind, cols, coeffs, z)
+
+    def mat_vec_batched(self, z_batch):
+        """z_batch: [B, ncols, ncomp, e, nl] -> [B, nrows, ncomp, e, nl]."""
+        kind, cols, coeffs = self._device()
+        return jax.vmap(lambda z: _spmv(self.ring, kind, cols, coeffs, z))(z_batch)
 
     def transpose_mul_scalar_host(self, ring: Ring, w: List[int]) -> List[int]:
         """u = M^T w for F_q scalar weights (host). Requires scalar coeffs;

@@ -92,6 +92,15 @@ class AjtaiScheme:
 
         return mxu.ajtai_commit(self.ring, self._mxu_planes, f)
 
+    def commit_batch_cm(self, fcm) -> jnp.ndarray:
+        """Batched commit on a component-major witness batch
+        [ncomp, n, e, Nb, nl] -> [kappa, Nb, ncomp, e, nl]; skips the
+        layout transpose of commit_batch (preferred when the producer can
+        emit component-major directly)."""
+        from .rings import mxu
+
+        return mxu.ajtai_commit_cm(self.ring, self._mxu_planes, fcm)
+
     def commit(self, f) -> Commitment:
         return Commitment(self.ring, list(rops.to_host(self.ring, self.commit_device(f))))
 

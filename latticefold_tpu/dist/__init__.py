@@ -18,3 +18,10 @@ from .mesh import (  # noqa: F401
     sharded_crt,
     sharded_sumcheck_round,
 )
+from .multihost import (  # noqa: F401
+    initialize,
+    make_hybrid_mesh,
+    sharded_commit_2d,
+    sharded_fold_2d,
+    sharded_sumcheck_round_2d,
+)

@@ -1,0 +1,164 @@
+"""Multi-host execution: jax.distributed + hybrid (DCN x ICI) meshes.
+
+The reference has no distributed layer at all (rayon threads only —
+SURVEY.md §2.5); this module is the TPU-native scale-out path it lacks:
+
+- `initialize()` wires up the JAX distributed runtime (one process per host,
+  env-driven like the standard TPU pod bootstrap).
+- `make_hybrid_mesh()` builds a 2-axis mesh ("dcn" across hosts, "ici"
+  across the chips of each host) with jax.experimental.mesh_utils, so
+  shardings can keep bandwidth-hungry collectives on ICI and cross only the
+  per-host partial reductions over DCN.
+- The sharded kernels mirror dist/mesh.py but reduce over both axes: the
+  hypercube/witness axis is sharded over the flattened ("dcn", "ici") axes;
+  round messages and commitment partials are modular-all-reduced ICI-first
+  (cheap, wide) then DCN (tiny payloads: (degree+1)*d or kappa*d values).
+
+Fiat-Shamir stays host-side and replicated: every process runs the identical
+transcript schedule, so challenges agree without any communication (the same
+design the single-host fused prover uses, transcript/device.py).
+
+Single-host fallback: everything here degrades to the 1-host case (the "dcn"
+axis has size 1), so the same program runs on one chip, one host, or a pod.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import modops as mo
+from ..poly import mle as mlemod
+from ..rings import ops as rops
+from ..rings.construct import Ring
+from .mesh import _allreduce_mod
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Initialize jax.distributed from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+
+    Returns True if the distributed runtime was (or already is) initialized,
+    False when no multi-process configuration is present (single-host mode).
+    Safe to call unconditionally at program start.
+    """
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None or num_processes in (None, 1):
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+    return True
+
+
+def make_hybrid_mesh(ici_axis: str = "ici", dcn_axis: str = "dcn") -> Mesh:
+    """2-axis mesh: dcn spans processes (hosts), ici spans each host's chips.
+
+    With one process this is a [1, n_local] mesh — the same kernels compile
+    and run unchanged. Multi-host device order comes from mesh_utils's
+    hybrid mesh builder so the inner axis is ICI-contiguous.
+    """
+    n_proc = jax.process_count()
+    n_local = jax.local_device_count()
+    if n_proc > 1:
+        from jax.experimental import mesh_utils
+
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, n_local),
+            dcn_mesh_shape=(n_proc, 1),
+        )
+    else:
+        devices = np.array(jax.devices()).reshape(n_proc, n_local)
+    return Mesh(devices, (dcn_axis, ici_axis))
+
+
+def _allreduce_mod_2d(ring: Ring, x, ici_axis: str, dcn_axis: str):
+    """Modular all-reduce over both mesh axes, ICI first (wide links) then
+    DCN (payload already reduced to one value per host)."""
+    x = _allreduce_mod(ring, x, ici_axis)
+    return _allreduce_mod(ring, x, dcn_axis)
+
+
+def sharded_commit_2d(ring: Ring, mesh: Mesh, matrix, f):
+    """Ajtai commit with witness columns sharded over (dcn, ici): each chip
+    contracts its column slice; partials reduce ICI-then-DCN; the [kappa]
+    result is replicated on every chip (it feeds the replicated transcript)."""
+    dcn, ici = mesh.axis_names
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(None, (dcn, ici)), P((dcn, ici))),
+        out_specs=P(),
+    )
+    def go(mat_blk, f_blk):
+        prod = rops.ring_mul(ring, mat_blk, f_blk[None])
+        partial = rops.ring_sum(ring, prod, 1)
+        return _allreduce_mod_2d(ring, partial, ici, dcn)
+
+    return jax.jit(go)(matrix, f)
+
+
+def sharded_sumcheck_round_2d(ring: Ring, mesh: Mesh, comb, degree: int, mles, consts):
+    """One sumcheck round over hypercube-sharded tables on a hybrid mesh.
+
+    The hypercube axis is block-sharded over the flattened (dcn, ici) axes so
+    variable-0 even/odd pairs stay device-local; only the tiny round message
+    ((degree+1) ring elements) crosses DCN."""
+    dcn, ici = mesh.axis_names
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(None, (dcn, ici)), P()),
+        out_specs=P(),
+    )
+    def go(mles_blk, consts_):
+        a0 = mles_blk[:, 0::2]
+        a1 = mles_blk[:, 1::2]
+        evs = [
+            rops.ring_sum(ring, comb.fn(a0, consts_), 0),
+            rops.ring_sum(ring, comb.fn(a1, consts_), 0),
+        ]
+        if degree >= 2:
+            step = rops.ring_sub(ring, a1, a0)
+            cur = a1
+            for _ in range(2, degree + 1):
+                cur = rops.ring_add(ring, cur, step)
+                evs.append(rops.ring_sum(ring, comb.fn(cur, consts_), 0))
+        return _allreduce_mod_2d(ring, jnp.stack(evs), ici, dcn)
+
+    return jax.jit(go)(mles, consts)
+
+
+def sharded_fold_2d(ring: Ring, mesh: Mesh, mles, c):
+    """Fix variable 0 across hybrid-mesh-sharded tables (block-local)."""
+    dcn, ici = mesh.axis_names
+    spec = P(None, (dcn, ici))
+
+    @functools.partial(shard_map, mesh=mesh, check_vma=False,
+                       in_specs=(spec, P()), out_specs=spec)
+    def go(mles_blk, c_):
+        return mlemod.fold(ring, mles_blk, c_)
+
+    return jax.jit(go)(mles, c)

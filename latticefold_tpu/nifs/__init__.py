@@ -56,19 +56,19 @@ def prove(
 
     linearized_cm_i, lin_proof = linearization.prove(cm_i, w_i, transcript, ccs)
 
-    mz_l, lcccs_l, wit_l, dec_proof_l = decomposition.prove(
+    z_l, lcccs_l, wit_l, dec_proof_l = decomposition.prove(
         acc, w_acc, transcript, ccs, scheme, dp
     )
-    mz_r, lcccs_r, wit_r, dec_proof_r = decomposition.prove(
+    z_r, lcccs_r, wit_r, dec_proof_r = decomposition.prove(
         linearized_cm_i, w_i, transcript, ccs, scheme, dp
     )
 
     lcccs = lcccs_l + lcccs_r
     wit_s = wit_l + wit_r
-    mz_mles = mz_l + mz_r
+    z_s = z_l + z_r
 
     folded_lcccs, w_0, fold_proof = folding.prove(
-        lcccs, wit_s, transcript, ccs, dp, mz_mles
+        lcccs, wit_s, transcript, ccs, dp, z_s
     )
 
     return folded_lcccs, w_0, LFProof(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,7 +27,7 @@ from ..poly import mle as mlemod
 from ..rings import ops as rops
 from ..rings.construct import Ring
 from ..transcript import Transcript
-from .linearization import calculate_Mz_mles
+import functools
 
 
 class DecompositionError(Exception):
@@ -115,7 +116,11 @@ def prove(
     scheme: AjtaiScheme,
     dp: DecompositionParams,
 ):
-    """decomposition.rs:33-88. Returns (mz_mles, lcccs_s, wit_s, proof)."""
+    """decomposition.rs:33-88. Returns (z_s, lcccs_s, wit_s, proof).
+
+    z_s: the K device z-vectors (x_k || w_ccs_k), retained for the folding
+    prover's streaming Mz evaluations in place of materialized Mz MLEs.
+    """
     ring = ccs.ring
     ccs.sanity_check(dp.L)
 
@@ -147,13 +152,21 @@ def prove(
         for w in wit_s
     ]
 
-    mz_mles = []
+    # Streaming-Mz memory discipline (SURVEY.md §7.3 hard part 7): instead of
+    # materializing K x t Mz MLE tables ([K, t, m] ring elements — the
+    # dominant HBM cost at 2^20 constraints), evaluate
+    #   u_k[j] = mle[M_j z_k](r) = <M_j z_k, eq_r> = <z_k, M_j^T eq_r>
+    # with the t transposed-SpMV vectors shared across all K instances.
+    # Exact mod-q identity, so proofs are bit-identical to the retained-MLE
+    # path (differentially tested in tests/test_device_step.py).
+    eq_r = mlemod.build_eq(ring, rs)  # [m, ncomp, e, nl]
+    wT = jnp.stack([M.transpose().mat_vec(eq_r) for M in ccs.M])  # [t, ncols, ...]
+    z_s = []
     u_s = []
     for k in range(dp.K):
         z = jnp.concatenate([rops.to_device(ring, x_s[k]), wit_s[k].w_ccs], axis=0)
-        mz = calculate_Mz_mles(ring, ccs, z)
-        mz_mles.append(mz)
-        u_s.append(list(rops.to_host(ring, mlemod.evaluate(ring, mz, rs))))
+        z_s.append(z)
+        u_s.append(list(rops.to_host(ring, _dot_rows(ring, wT, z))))
 
     lcccs_s = []
     for k in range(dp.K):
@@ -169,7 +182,13 @@ def prove(
         )
 
     proof = DecompositionProof(u_s=u_s, v_s=v_s, x_s=x_s, y_s=y_s)
-    return mz_mles, lcccs_s, wit_s, proof
+    return z_s, lcccs_s, wit_s, proof
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _dot_rows(ring: Ring, wT, z):
+    """<z, wT_j> per row: wT [t, N, ...], z [N, ...] -> [t, ncomp, e, nl]."""
+    return rops.ring_sum(ring, rops.ring_mul(ring, wT, z[None]), 1)
 
 
 def verify(

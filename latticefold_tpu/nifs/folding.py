@@ -113,6 +113,52 @@ def prepare_folding_mles(ring: Ring, Khalf: int, f_hat_all, mz_all, eq1, eq2, be
     return _folding_combine(ring, Khalf, both, f_hat_all, eq1, eq2, beta_eq)
 
 
+def prepare_folding_mles_streaming(
+    ring: Ring, Khalf: int, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas
+):
+    """prepare_folding_mles without materialized Mz tables (big-m memory
+    discipline, SURVEY.md §7.3 hard part 7): the zeta-Horner terms
+    M_j z_i are produced one j at a time by batched SpMV and consumed
+    immediately, so peak HBM holds one [2K, m] ring table instead of
+    [2K, t, m]. Bit-identical output to the retained-Mz path."""
+    fh_h = _fhat_horner(ring, f_hat_all, alphas)
+    mz_h = None
+    zetas_dev = zetas[:, None, None]  # broadcast over (m, ncomp)
+    for j in range(len(ccs.M) - 1, -1, -1):
+        y_j = ccs.M[j].mat_vec_batched(z_all)  # [2K, m, ...]
+        cur = y_j if mz_h is None else _ring_add_j(ring, mz_h, y_j)
+        mz_h = _ext_mul_j(ring, cur, zetas_dev)
+    both = _ring_add_j(ring, fh_h, mz_h)
+    return _folding_combine(ring, Khalf, both, f_hat_all, eq1, eq2, beta_eq)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _ring_add_j(ring: Ring, a, b):
+    return rops.ring_add(ring, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _ext_mul_j(ring: Ring, a, ch):
+    return rops.ext_mul(ring, a, ch)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fhat_horner(ring: Ring, f_hat_all, alphas):
+    """The alpha-Horner half of _folding_horner (subfield-compact f_hat)."""
+    tau = f_hat_all.shape[1]
+    ch = alphas[:, None, None]
+    m = ring.fq
+    mle = None
+    for row in range(tau - 1, -1, -1):
+        cur_sub = f_hat_all[:, row]  # [2K, m, ncomp, nl]
+        if mle is None:
+            mle = mo.mont_mul(m, cur_sub[..., None, :], ch)
+        else:
+            mle = mle.at[..., 0, :].set(mo.add(m, mle[..., 0, :], cur_sub))
+            mle = rops.ext_mul(ring, mle, ch)
+    return mle  # [2K, m, ncomp, e, nl]
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _folding_horner(ring: Ring, f_hat_all, mz_all, alphas, zetas):
     """Returns stacked MLEs [5 + 2K*tau, m, ncomp, e, nl]:
@@ -201,6 +247,18 @@ def _sub_diag(ring: Ring, a, k):
     return rops.ring_sub(ring, a, jnp.broadcast_to(k, a.shape[:-3] + (ring.ncomp,) + k.shape))
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _eta_dots(ring: Ring, z_all, wT):
+    """eta[i, j] = <z_i, wT_j>: z_all [2K, N, ...], wT [t, N, ...] ->
+    [2K, t, ncomp, e, nl]. Loops over the tiny t axis to keep the transient
+    at one [2K, N] ring table."""
+    outs = []
+    for j in range(wT.shape[0]):
+        prod = rops.ring_mul(ring, z_all, wT[j][None])
+        outs.append(rops.ring_sum(ring, prod, 1))
+    return jnp.stack(outs, axis=1)
+
+
 def fold_witnesses(ring: Ring, f_all, rhos):
     """f_0 = sum_i rho_i * f_i; f_all [2K, NL, ...], rhos [2K, ncomp, e, nl].
 
@@ -285,8 +343,11 @@ def prove(
     transcript: Transcript,
     ccs: CCS,
     dp: DecompositionParams,
-    mz_mles: List,
+    z_s: List,
 ):
+    """folding.rs:42-130. ``z_s``: the 2K device z-vectors from the two
+    decomposition calls; Mz values are streamed from them (one SpMV batch per
+    CCS matrix) rather than passed as materialized MLE tables."""
     ring = ccs.ring
     ccs.sanity_check(dp.L)
     if len(cm_i_s) != 2 * dp.K:
@@ -296,7 +357,7 @@ def prove(
     alpha_s, beta_s, zeta_s, mu_s = squeeze_alpha_beta_zeta_mu(ring, transcript, dp, log_m)
 
     f_hat_all = jnp.stack([w.f_hat for w in w_s])  # [2K, tau, m, ...]
-    mz_all = jnp.stack(mz_mles)  # [2K, t, m, ...]
+    z_all = jnp.stack(z_s)  # [2K, ncols, ...]
 
     r_first, r_second = cm_i_s[0].r, cm_i_s[dp.K].r
     eq1 = mlemod.build_eq(ring, mlemod.point_to_device(ring, r_first))
@@ -306,7 +367,9 @@ def prove(
     zetas = mlemod.point_to_device(ring, zeta_s)
     mus = mlemod.point_to_device(ring, mu_s)
 
-    mles = prepare_folding_mles(ring, dp.K, f_hat_all, mz_all, eq1, eq2, beta_eq, alphas, zetas)
+    mles = prepare_folding_mles_streaming(
+        ring, dp.K, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas
+    )
 
     comb = _folding_comb(ring, 2 * dp.K, ring.tau, dp.b)
     degree = 2 * dp.b
@@ -318,10 +381,14 @@ def prove(
         [fhat_finals[i * ring.tau + j] for j in range(ring.tau)]
         for i in range(2 * dp.K)
     ]
+    # etas by the transpose trick: mle[M_j z](r_0) = <z, M_j^T eq_{r_0}>
+    # (exact mod-q identity; avoids retaining Mz tables across the sumcheck)
     rs0 = mlemod.point_to_device(ring, r_0)
-    eta_s = [
-        list(rops.to_host(ring, mlemod.evaluate(ring, mz, rs0))) for mz in mz_mles
-    ]
+    eq_r0 = mlemod.build_eq(ring, rs0)  # [m, ...]
+    wT = jnp.stack([M.transpose().mat_vec(eq_r0) for M in ccs.M])  # [t, ncols, ...]
+    etas_dev = _eta_dots(ring, z_all, wT)  # [2K, t, ...]
+    etas_host = rops.to_host(ring, etas_dev)
+    eta_s = [list(etas_host[i]) for i in range(2 * dp.K)]
 
     for thetas in theta_s:
         transcript.absorb_slice(thetas)

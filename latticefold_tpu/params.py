@@ -32,6 +32,12 @@ DP_BABYBEAR = DecompositionParams(B=1 << 8, L=4, b=2, K=8)
 DP_FROG = DecompositionParams(B=1 << 8, L=8, b=2, K=10)
 DP_STARK = DecompositionParams(B=10485760000, L=8, b=320, K=4)
 DP_STARK_FOLDING = DecompositionParams(B=3010936384, L=8, b=38, K=6)
+# Foldable Stark preset: the reference's StarkDP (b=320) implies a degree-640
+# folding sumcheck, infeasible on any backend — its own Stark e2e tests are
+# #[ignore]d for this reason (nifs/tests.rs:139-148). Choosing b=2 from the
+# same b^K >= B grid keeps the sumcheck at degree 4 (more, smaller folded
+# instances: K=32), making Stark end-to-end folding actually runnable.
+DP_STARK_E2E = DecompositionParams(B=3010936384, L=8, b=2, K=32)
 # small params for fast tests (reference test_params::DP)
 DP_TEST = DecompositionParams(B=1024, L=2, b=2, K=10)
 DP_TEST_L1 = DecompositionParams(B=1024, L=1, b=2, K=10)

@@ -225,6 +225,28 @@ def prove(
     comb: CombFn,
     comb_consts=(),
 ):
+    """Scalar-challenge sumcheck prover; identical proof bytes either way.
+
+    TPU backends get the device-resident-transcript whole-sumcheck program;
+    the CPU backend gets the host-transcript per-round path (the inlined
+    Poseidon graphs are XLA:CPU compile bombs — see latticefold_tpu/sumcheck.py
+    prove). Tests targeting the device-transcript machinery call prove_device."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return prove_host(ring, transcript, mles, nvars, degree, comb, comb_consts)
+    return prove_device(ring, transcript, mles, nvars, degree, comb, comb_consts)
+
+
+def prove_device(
+    ring: Ring,
+    transcript: PlusTranscript,
+    mles,
+    nvars: int,
+    degree: int,
+    comb: CombFn,
+    comb_consts=(),
+):
     """Scalar-challenge sumcheck prover (device-resident transcript; one
     dispatch for all rounds).
 

@@ -98,15 +98,33 @@ def _chunked_rows(block_fn, x, tail_ndim: int):
 def crt(ring: Ring, coeffs):
     """[..., d, nl] coefficient form -> [..., ncomp, e, nl] NTT form.
 
-    Conv-folded MXU transform (rings/mxu.py): one bf16 matmul against the
-    precomputed byte-position-folded CRT matrix plus the carry/REDC epilogue.
-    Bit-identical to the streamed VPU `mat_apply` path (both canonical mod q).
+    On TPU-class backends: the conv-folded MXU transform (rings/mxu.py) —
+    one bf16 matmul against the precomputed byte-position-folded CRT matrix
+    plus the carry/REDC epilogue. On the CPU backend: the streamed VPU
+    `mat_apply` path — the conv epilogue's unrolled carry/REDC chains (68
+    byte positions x 9 REDC rounds for stark nl=8) make XLA:CPU compiles
+    blow past 45 minutes (measured round 3); the two paths are bit-identical
+    (tests/test_rings.py:test_crt_conv_matches_vpu).
     """
+    if jax.default_backend() == "cpu":
+        return crt_vpu(ring, coeffs)
     return _chunked_rows(functools.partial(_crt_block, ring), coeffs, 2)
 
 
 def icrt(ring: Ring, x):
     """[..., ncomp, e, nl] NTT form -> [..., d, nl] coefficient form."""
+    if jax.default_backend() == "cpu":
+        return icrt_vpu(ring, x)
+    return _chunked_rows(functools.partial(_icrt_block, ring), x, 3)
+
+
+def crt_conv(ring: Ring, coeffs):
+    """The conv-folded MXU path unconditionally (differential tests)."""
+    return _chunked_rows(functools.partial(_crt_block, ring), coeffs, 2)
+
+
+def icrt_conv(ring: Ring, x):
+    """The conv-folded MXU path unconditionally (differential tests)."""
     return _chunked_rows(functools.partial(_icrt_block, ring), x, 3)
 
 

@@ -291,7 +291,34 @@ def prove(
     comb: CombFn,
     comb_consts=(),
 ):
-    """Run the sumcheck prover (device-resident transcript; one dispatch).
+    """Run the sumcheck prover; identical proof bytes on either path.
+
+    On TPU-class backends: the device-resident-transcript whole-sumcheck
+    program (one dispatch, zero per-round host syncs). On the CPU backend:
+    the host-transcript per-round path — the inlined Poseidon permutations of
+    the device-transcript trace produce graphs XLA:CPU takes tens of minutes
+    to compile (measured round 3), while per-round kernels compile in
+    seconds and CPU has no dispatch-latency problem to amortize anyway.
+    Tests that target the device-transcript machinery itself call
+    ``prove_device`` directly.
+    """
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return prove_host(ring, transcript, mles, nvars, degree, comb, comb_consts)
+    return prove_device(ring, transcript, mles, nvars, degree, comb, comb_consts)
+
+
+def prove_device(
+    ring: Ring,
+    transcript: Transcript,
+    mles,
+    nvars: int,
+    degree: int,
+    comb: CombFn,
+    comb_consts=(),
+):
+    """Device-resident-transcript prover (one XLA program for all rounds).
 
     ``mles``: [nm, 2^nvars, ncomp, e, nl]. Returns
     (SumcheckProof, challenges (K elts), final_vals [nm, ncomp, e, nl]) where

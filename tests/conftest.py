@@ -15,7 +15,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/lf_tpu_jax_cache")
+# The jaxtyping pytest plugin imports jax BEFORE this conftest runs, so the
+# JAX_PLATFORMS env var above is read too late and the suite silently runs
+# over the tunneled axon TPU backend (serializing every dispatch behind a TCP
+# round trip, and OOM-killing the remote compile helper on big fused
+# programs). config.update works after import as long as no backend has been
+# initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

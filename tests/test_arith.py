@@ -101,3 +101,29 @@ def test_ccs_relation():
         host = M.mat_vec_host(z)
         dev = list(rops.to_host(ring, M.mat_vec(z_dev)))
         assert dev == host
+
+
+def test_ajtai_commit_cm_matches_batch():
+    """Component-major batched commit (mxu.ajtai_commit_cm) is bit-identical
+    to the canonical-layout batched commit on random witnesses, all rings."""
+    import jax.numpy as jnp
+
+    from latticefold_tpu.rings import mxu
+    from latticefold_tpu.rings.construct import get_ring as _gr
+
+    for name in ("goldilocks", "babybear", "stark", "frog"):
+        ring = _gr(name)
+        n, kappa, Nb = 1 << 9, 3, 4
+        scheme = AjtaiScheme(ring, kappa, n, seed=5)
+        rng = np.random.default_rng(17)
+        limbs = rng.integers(
+            0, 1 << 32, size=(n, Nb, ring.ncomp, ring.e, ring.nl), dtype=np.uint64
+        ).astype(np.uint32)
+        # keep values < q for every ring by clearing top bits of the high
+        # limb (stark: q ~ 2^251.09 so 2^250-bounded values are safe)
+        limbs[..., -1] >>= 6
+        f = jnp.asarray(limbs)
+        cm_std = np.asarray(mxu.ajtai_commit(ring, scheme._mxu_planes, f))
+        fcm = jnp.transpose(f, (2, 0, 3, 1, 4))
+        cm_cm = np.asarray(scheme.commit_batch_cm(fcm))
+        assert (cm_std == cm_cm).all(), name

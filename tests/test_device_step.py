@@ -32,6 +32,10 @@ def _setup(name, dp, inp=3):
     return ring, ccs, scheme, cm_i, wit, acc
 
 
+@pytest.mark.slow  # the whole-NIFS fused program (two device-transcript
+# sumchecks + all subprotocols inlined) is an XLA:CPU compile bomb — hours on
+# this 2-CPU host. Run with -m slow, or on a TPU-class backend where the
+# fused program is the production path and compiles in minutes.
 @pytest.mark.parametrize(
     "name,dp", [("goldilocks", DP_GOLDILOCKS), ("frog", DP_FROG)]
 )

@@ -76,7 +76,7 @@ def test_device_sumcheck_matches_host_prover(name):
 
     t1 = Transcript(ring)
     t1.absorb_tag(b"diff")
-    p1, c1, f1 = sc.prove(ring, t1, mles, nvars, degree, comb)
+    p1, c1, f1 = sc.prove_device(ring, t1, mles, nvars, degree, comb)
 
     t2 = Transcript(ring)
     t2.absorb_tag(b"diff")
@@ -110,7 +110,7 @@ def test_plus_device_sumcheck_matches_host(scalar):
 
     t1 = PlusTranscript(ring)
     t1.absorb_tag(b"pdiff")
-    p1, c1, f1 = psc.prove(ring, t1, mles, nvars, degree, comb)
+    p1, c1, f1 = psc.prove_device(ring, t1, mles, nvars, degree, comb)
 
     t2 = PlusTranscript(ring)
     t2.absorb_tag(b"pdiff")
@@ -137,7 +137,7 @@ def test_device_sumcheck_large_nvars_scan_tail():
 
     comb = sc.CombFn(ring, fn, key="test:deg2")
     t1 = Transcript(ring)
-    p1, c1, _ = sc.prove(ring, t1, mles, nvars, degree, comb)
+    p1, c1, _ = sc.prove_device(ring, t1, mles, nvars, degree, comb)
     t2 = Transcript(ring)
     p2, c2, _ = sc.prove_host(ring, t2, mles, nvars, degree, comb)
     assert c1 == c2 and p1.round_evals == p2.round_evals

@@ -1,0 +1,105 @@
+"""Sharded kernels (dist/mesh.py, dist/multihost.py) vs unsharded oracles on
+the 8-virtual-device CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import latticefold_tpu.rings.ops as rops
+from latticefold_tpu import dist
+from latticefold_tpu.poly import mle as mlemod
+from latticefold_tpu.rings.construct import get_ring
+
+RING = get_ring("goldilocks")
+
+
+def _rand_ring(rng, ring, shape):
+    ints = rng.integers(0, 1 << 31, size=tuple(shape) + (ring.ncomp, ring.e), dtype=np.int64)
+    R = 1 << (32 * ring.nl)
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints.astype(object))
+    return jnp.asarray(ring.fq.encode(mont))
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    ring = RING
+    rng = np.random.default_rng(3)
+    n, m, kappa = 32, 32, 2
+    matrix = _rand_ring(rng, ring, (kappa, n))
+    f = _rand_ring(rng, ring, (n,))
+    mz = _rand_ring(rng, ring, (1, m))
+    point = [(3, 4, 5)] * int(math.log2(m))
+    eq = mlemod.build_eq(ring, mlemod.point_to_device(ring, point))[None]
+    c = rops.k_to_device(ring, (7, 8, 9))
+    return ring, matrix, f, mz, eq, c
+
+
+def _oracle_commit(ring, matrix, f):
+    prod = rops.ring_mul(ring, matrix, f[None])
+    return rops.ring_sum(ring, prod, 1)
+
+
+def test_sharded_commit_matches(fixtures):
+    ring, matrix, f, *_ = fixtures
+    mesh = dist.make_mesh(8)
+    cm = dist.sharded_commit(ring, mesh, matrix, f)
+    assert (np.asarray(cm) == np.asarray(_oracle_commit(ring, matrix, f))).all()
+
+
+def test_hybrid_mesh_commit_and_fold_match(fixtures):
+    from jax.sharding import Mesh
+
+    ring, matrix, f, mz, eq, c = fixtures
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    hmesh = Mesh(devs, ("dcn", "ici"))
+    cm2 = dist.sharded_commit_2d(ring, hmesh, matrix, f)
+    assert (np.asarray(cm2) == np.asarray(_oracle_commit(ring, matrix, f))).all()
+
+    stack = jnp.concatenate([mz, eq], axis=0)
+    folded = dist.sharded_fold_2d(ring, hmesh, stack, c)
+    assert (np.asarray(folded) == np.asarray(mlemod.fold(ring, stack, c))).all()
+
+
+def test_hybrid_mesh_sumcheck_round_matches(fixtures):
+    from jax.sharding import Mesh
+
+    from latticefold_tpu import sumcheck as sc
+
+    ring, matrix, f, mz, eq, c = fixtures
+
+    def fn(vals, consts):
+        return rops.ring_mul(ring, vals[0], vals[1])
+
+    comb = sc.CombFn(ring, fn, key="test:eq*mz")
+    stack = jnp.concatenate([mz, eq], axis=0)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    hmesh = Mesh(devs, ("dcn", "ici"))
+    msg2 = dist.sharded_sumcheck_round_2d(ring, hmesh, comb, 2, stack, ())
+    mesh1 = dist.make_mesh(8)
+    msg1 = dist.sharded_sumcheck_round(ring, mesh1, comb, 2, stack, ())
+    assert (np.asarray(msg2) == np.asarray(msg1)).all()
+    # unsharded oracle
+    a0, a1 = stack[:, 0::2], stack[:, 1::2]
+    evs = [
+        rops.ring_sum(ring, fn(a0, ()), 0),
+        rops.ring_sum(ring, fn(a1, ()), 0),
+    ]
+    cur = rops.ring_add(ring, a1, rops.ring_sub(ring, a1, a0))
+    evs.append(rops.ring_sum(ring, fn(cur, ()), 0))
+    assert (np.asarray(msg1) == np.asarray(jnp.stack(evs))).all()
+
+
+def test_initialize_noop_without_env(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert dist.initialize() is False
+
+
+def test_make_hybrid_mesh_single_process():
+    mesh = dist.make_hybrid_mesh()
+    assert mesh.axis_names == ("dcn", "ici")
+    assert mesh.devices.shape == (1, jax.local_device_count())

@@ -109,3 +109,14 @@ def test_nifs_second_fold_and_rejection():
     tv = Transcript(ring)
     with pytest.raises(Exception):
         nifs.verify(acc, cm_i, bad2, tv, ccs, DP_GOLDILOCKS)
+
+
+@pytest.mark.slow
+def test_nifs_e2e_stark():
+    """Stark-prime end-to-end fold. The reference cannot run this at its own
+    StarkDP (b=320 -> degree-640 sumcheck; its tests are #[ignore]d at
+    nifs/tests.rs:139-148); DP_STARK_E2E picks b=2 from the same b^K >= B
+    grid so the folding sumcheck stays degree 4."""
+    from latticefold_tpu.params import DP_STARK_E2E
+
+    _run_e2e("stark", DP_STARK_E2E)

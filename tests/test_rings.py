@@ -89,7 +89,18 @@ def test_mul_by_x_matches(name):
     assert shifted == oracle
 
 
-@pytest.mark.parametrize("name", RINGS)
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n != "stark" else pytest.param(
+            n,
+            marks=pytest.mark.slow,  # XLA:CPU takes ~an hour to compile the
+            # nl=8 conv epilogue (68-position carry chain x 9 REDC rounds);
+            # run with -m slow, or on a TPU backend where it compiles fast
+        )
+        for n in RINGS
+    ],
+)
 def test_crt_conv_matches_vpu(name):
     """The conv-folded MXU crt/icrt (rings/mxu.py conv_apply) must be
     bit-identical to the streamed VPU path on random batches."""
@@ -103,10 +114,10 @@ def test_crt_conv_matches_vpu(name):
     vals %= ring.q
     mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(vals)
     coeffs = jnp.asarray(ring.fq.encode(mont))
-    a = np.asarray(rops.crt(ring, coeffs))
+    a = np.asarray(rops.crt_conv(ring, coeffs))
     b = np.asarray(rops.crt_vpu(ring, coeffs))
     assert (a == b).all()
-    x = rops.crt(ring, coeffs)
-    ai = np.asarray(rops.icrt(ring, x))
+    x = rops.crt_conv(ring, coeffs)
+    ai = np.asarray(rops.icrt_conv(ring, x))
     bi = np.asarray(rops.icrt_vpu(ring, x))
     assert (ai == bi).all()
