@@ -130,24 +130,33 @@ def main():
                 ts.append(time.perf_counter() - t0)
             big_metrics[f"ajtai_commits_per_s_b{nb_big}"] = 8 * nb_big / min(ts)
 
-    # side metric: CRT (NTT) throughput, elements/s at the witness shape
-    n_crt = n * (4 if on_tpu else 1)
+    # side metric: CRT (NTT) throughput, elements/s at the witness shape.
+    # One jitted fori_loop — per-dispatch tunnel latency (~15 ms) would
+    # otherwise dominate and under-report by >10x (it did in rounds 1-2).
+    n_crt = n if on_tpu else n // 4
     coeffs = mo.from_mont(
         ring.fq,
         jnp.reshape(_rand_ring_batch(ring, rng, (n_crt,)), (-1, ring.d, ring.nl)),
     )
     n_crt = coeffs.shape[0]
-    crt_out = mxu.crt(ring, coeffs)
-    np.asarray(crt_out)
-    crt_iters = 10 if on_tpu else 2
+    crt_iters = 32 if on_tpu else 2
+
+    @jax.jit
+    def crt_loop(coeffs):
+        def body(i, acc):
+            c = coeffs ^ (acc[0, 0, 0, 0] & jnp.uint32(1))
+            return acc ^ mxu.crt(ring, c).reshape(acc.shape)
+
+        init = jnp.zeros(
+            (n_crt, ring.ncomp, ring.e, ring.nl), dtype=jnp.uint32
+        )
+        return jax.lax.fori_loop(0, crt_iters, body, init)
+
+    np.asarray(crt_loop(coeffs))
     crt_times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        acc = None
-        for _ in range(crt_iters):
-            o = mxu.crt(ring, coeffs)
-            acc = o if acc is None else acc ^ o
-        np.asarray(acc)
+        np.asarray(crt_loop(coeffs))
         crt_times.append(time.perf_counter() - t0)
     crt_dt = min(crt_times)
     crt_elems_per_s = crt_iters * n_crt / crt_dt

@@ -14,6 +14,7 @@ multi-precision add/sub, re-derived for 32-bit lanes.
 
 from __future__ import annotations
 
+import os
 import functools
 from dataclasses import dataclass, field
 
@@ -240,8 +241,22 @@ def is_zero(m: Modulus, a):
 
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(m: Modulus, a, b):
-    """CIOS Montgomery multiplication: returns a*b*R^{-1} mod q."""
+    """CIOS Montgomery multiplication: returns a*b*R^{-1} mod q.
+
+    For many-limb moduli on the CPU backend the outer CIOS loop runs as a
+    lax.fori_loop: XLA:CPU's compile time explodes on the fully unrolled
+    deep u32 carry chains (a single unrolled nl=8 mont_mul took >4 min to
+    compile vs ~2 s looped; bit-identical outputs, tested in
+    tests/test_modops.py). TPU backends keep the unrolled form (fuses best,
+    and the TPU compiler handles it fine).
+    """
     nl = m.nl
+    if (
+        nl > 2
+        and jax.default_backend() == "cpu"
+        and os.environ.get("LF_TPU_UNROLLED_MONT", "0") != "1"
+    ):
+        return _mont_mul_loop(m, a, b)
     al, bl = _unpack(a, nl), _unpack(b, nl)
     q = [np.uint32(m.q_limbs[i]) for i in range(nl)]
     ninv = np.uint32(m.ninv)
@@ -265,6 +280,46 @@ def mont_mul(m: Modulus, a, b):
     res = t[:nl]
     qc = _qconst(m, a)
     over = t[nl] | _geq(res, qc, nl)  # t[nl] is 0/1 after CIOS
+    red, _ = _sub_limbs(res, qc, nl)
+    return _pack(_csel(over, red, res, nl))
+
+
+def _mont_mul_loop(m: Modulus, a, b):
+    """CIOS with the outer limb loop as lax.fori_loop (see mont_mul)."""
+    nl = m.nl
+    q = [np.uint32(m.q_limbs[i]) for i in range(nl)]
+    ninv = np.uint32(m.ninv)
+    bshape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, bshape)
+    b = jnp.broadcast_to(b, bshape)
+    zero = jnp.zeros(bshape[:-1], dtype=U32)
+    t0 = jnp.zeros(bshape[:-1] + (nl + 2,), dtype=U32)
+
+    def outer(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, axis=a.ndim - 1, keepdims=False)
+        tl = [t[..., j] for j in range(nl + 2)]
+        c = zero
+        for j in range(nl):
+            c, tl[j] = _mac(ai, b[..., j], tl[j], c)
+        s, cy = _addc(tl[nl], c)
+        tl[nl] = s
+        tl[nl + 1] = tl[nl + 1] + cy
+        mu = tl[0] * ninv
+        c, _ = _mac(mu, q[0], tl[0], zero)
+        for j in range(1, nl):
+            c, tl[j - 1] = _mac(mu, q[j], tl[j], c)
+        s, cy = _addc(tl[nl], c)
+        tl[nl - 1] = s
+        tl[nl] = tl[nl + 1] + cy
+        tl[nl + 1] = zero
+        # barrier: same XLA:CPU loop-carry aliasing hazard class as
+        # signed_digits/sumcheck scans (tests/test_fusion_audit.py)
+        return jax.lax.optimization_barrier(jnp.stack(tl, axis=-1))
+
+    t = jax.lax.fori_loop(0, nl, outer, t0)
+    res = [t[..., j] for j in range(nl)]
+    qc = _qconst(m, res[0])
+    over = t[..., nl] | _geq(res, qc, nl)
     red, _ = _sub_limbs(res, qc, nl)
     return _pack(_csel(over, red, res, nl))
 

@@ -108,16 +108,41 @@ def _redc_wide(m: Modulus, t_limbs):
     q = [np.uint32(m.q_limbs[i]) for i in range(nl)]
     ninv = np.uint32(m.ninv)
     zero = jnp.zeros_like(t_limbs[0])
-    t = list(t_limbs) + [zero]  # guard limb
-    for _ in range(n_extra):
-        mu = t[0] * ninv
-        c = zero
-        for j in range(nl):
-            c, t[j] = mo._mac(mu, q[j], t[j], c)
-        for j in range(nl, len(t)):
-            t[j], c = mo._addc(t[j], c)
-        t = t[1:]
-    # t has nl+1 limbs; value < 2q
+    if nl > 2 and jax.default_backend() == "cpu":
+        # lax.fori_loop over the REDC rounds: the fully unrolled nl=8 carry
+        # chains are an XLA:CPU compile bomb (same pathology as
+        # modops.mont_mul; see its docstring). Rounds are made uniform by
+        # keeping a fixed-width limb array: each round zeroes the low limb,
+        # ripples the carry into the (zero) dead tail, then shifts left with
+        # zero fill — the dead tail stays zero because the guard limb
+        # absorbs the ripple (value < 2q invariant).
+        L0 = len(t_limbs) + 1
+        t_arr = jnp.stack(list(t_limbs) + [zero], axis=-1)
+
+        def round_fn(_, t):
+            tl = [t[..., j] for j in range(L0)]
+            mu = tl[0] * ninv
+            c = zero
+            for j in range(nl):
+                c, tl[j] = mo._mac(mu, q[j], tl[j], c)
+            for j in range(nl, L0):
+                tl[j], c = mo._addc(tl[j], c)
+            shifted = tl[1:] + [zero]
+            return jax.lax.optimization_barrier(jnp.stack(shifted, axis=-1))
+
+        t_arr = jax.lax.fori_loop(0, n_extra, round_fn, t_arr)
+        t = [t_arr[..., j] for j in range(L0)]
+    else:
+        t = list(t_limbs) + [zero]  # guard limb
+        for _ in range(n_extra):
+            mu = t[0] * ninv
+            c = zero
+            for j in range(nl):
+                c, t[j] = mo._mac(mu, q[j], t[j], c)
+            for j in range(nl, len(t)):
+                t[j], c = mo._addc(t[j], c)
+            t = t[1:]
+    # t has (at least) nl+1 live limbs; value < 2q
     res = t[:nl]
     over_limb = t[nl]
     qc = mo._qconst(m, res[0])

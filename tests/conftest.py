@@ -9,7 +9,16 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE on XLA:CPU compile times: LLVM -O2 is superlinear on the multi-limb
+# u32 carry-chain kernels (a fully unrolled nl=8 Montgomery mul alone takes
+# >4 min). modops dispatches nl>2 CIOS to a lax.fori_loop on CPU, which
+# compiles in seconds standalone and ~minutes for multi-mul programs — paid
+# once thanks to the in-repo persistent cache (.cache/jax). Do NOT "fix"
+# this with --xla_backend_optimization_level=0/1: at those levels the
+# fori-loop kernels compile fast but their EXECUTION never completes
+# (observed wedged >200 s on 64-element inputs, round 3).
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

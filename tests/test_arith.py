@@ -28,6 +28,21 @@ def rand_ring_elts(ring, rng, n):
 ])
 def test_witness_roundtrip(name, dp):
     """from_w_ccs -> digits bounded, recompose matches (arith.rs:504-548)."""
+    import contextlib
+
+    import jax
+
+    # stark (nl=8): the multi-Montgomery-mul jitted pipelines are XLA:CPU
+    # compile bombs (LLVM -O2 superlinear on the carry-chain graphs, >30 min
+    # and tens of GB per kernel). The fixture is tiny, so run the whole test
+    # eagerly — per-op dispatch, no giant programs. TPU backends are
+    # unaffected (their compiler handles the same graphs in seconds).
+    ctx = jax.disable_jit() if name == "stark" else contextlib.nullcontext()
+    with ctx:
+        _witness_roundtrip_body(name, dp)
+
+
+def _witness_roundtrip_body(name, dp):
     ring = get_ring(name)
     rng = random.Random(1)
     n_w = 8
@@ -111,7 +126,14 @@ def test_ajtai_commit_cm_matches_batch():
     from latticefold_tpu.rings import mxu
     from latticefold_tpu.rings.construct import get_ring as _gr
 
+    import contextlib
+
+    import jax
+
     for name in ("goldilocks", "babybear", "stark", "frog"):
+        # stark: eager to dodge the XLA:CPU compile bomb (see
+        # test_witness_roundtrip); the fixture is tiny
+        ctx = jax.disable_jit() if name == "stark" else contextlib.nullcontext()
         ring = _gr(name)
         n, kappa, Nb = 1 << 9, 3, 4
         scheme = AjtaiScheme(ring, kappa, n, seed=5)
@@ -123,7 +145,8 @@ def test_ajtai_commit_cm_matches_batch():
         # limb (stark: q ~ 2^251.09 so 2^250-bounded values are safe)
         limbs[..., -1] >>= 6
         f = jnp.asarray(limbs)
-        cm_std = np.asarray(mxu.ajtai_commit(ring, scheme._mxu_planes, f))
-        fcm = jnp.transpose(f, (2, 0, 3, 1, 4))
-        cm_cm = np.asarray(scheme.commit_batch_cm(fcm))
+        with ctx:
+            cm_std = np.asarray(mxu.ajtai_commit(ring, scheme._mxu_planes, f))
+            fcm = jnp.transpose(f, (2, 0, 3, 1, 4))
+            cm_cm = np.asarray(scheme.commit_batch_cm(fcm))
         assert (cm_std == cm_cm).all(), name

@@ -13,7 +13,16 @@ from latticefold_tpu.transcript import Transcript
 from latticefold_tpu.transcript import device as dtr
 
 
-@pytest.mark.parametrize("name", ["goldilocks", "frog"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "goldilocks",
+        # frog's Poseidon config crosses the XLA:CPU LLVM blow-up threshold
+        # (the goldilocks param covers the duplex machinery on CPU; frog is
+        # exercised on TPU and by -m slow runs)
+        pytest.param("frog", marks=pytest.mark.slow),
+    ],
+)
 def test_device_sponge_matches_host(name):
     ring = get_ring(name)
     host = Transcript(ring)
@@ -56,6 +65,11 @@ def test_device_sponge_matches_host(name):
     assert host2.squeeze_bytes(18) == host.squeeze_bytes(18)
 
 
+@pytest.mark.slow  # prove_device inlines every Poseidon permutation of all
+# sumcheck rounds into one program — an XLA:CPU compile bomb (the TPU
+# compiler handles it in seconds; it is the TPU production path). CPU
+# coverage of the duplex-state machinery stays in
+# test_device_sponge_matches_host; run these with -m slow or on TPU.
 @pytest.mark.parametrize("name", ["goldilocks", "frog"])
 def test_device_sumcheck_matches_host_prover(name):
     ring = get_ring(name)
@@ -90,6 +104,11 @@ def test_device_sumcheck_matches_host_prover(name):
     assert t1.squeeze_bytes(16) == t2.squeeze_bytes(16)
 
 
+@pytest.mark.slow  # prove_device inlines every Poseidon permutation of all
+# sumcheck rounds into one program — an XLA:CPU compile bomb (the TPU
+# compiler handles it in seconds; it is the TPU production path). CPU
+# coverage of the duplex-state machinery stays in
+# test_device_sponge_matches_host; run these with -m slow or on TPU.
 @pytest.mark.parametrize("scalar", [True, False])
 def test_plus_device_sumcheck_matches_host(scalar):
     from latticefold_tpu.plus import sumcheck as psc
@@ -123,6 +142,11 @@ def test_plus_device_sumcheck_matches_host(scalar):
     assert t1.squeeze_bytes(16) == t2.squeeze_bytes(16)
 
 
+@pytest.mark.slow  # prove_device inlines every Poseidon permutation of all
+# sumcheck rounds into one program — an XLA:CPU compile bomb (the TPU
+# compiler handles it in seconds; it is the TPU production path). CPU
+# coverage of the duplex-state machinery stays in
+# test_device_sponge_matches_host; run these with -m slow or on TPU.
 def test_device_sumcheck_large_nvars_scan_tail():
     """nvars big enough to exercise unrolled head + scan tail together."""
     ring = get_ring("goldilocks")

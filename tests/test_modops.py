@@ -86,3 +86,24 @@ def test_signed_digits_roundtrip(name, q, nl, b, nd):
     # direct check: field value equals digit mod q
     d0s = digs[:, 0]
     assert all(int(x) == int(d) % q for x, d in zip(f, d0s))
+
+
+def test_mont_mul_loop_matches_unrolled():
+    """The fori-loop CIOS (used for nl>2 on CPU, where the unrolled form is
+    an XLA:CPU compile bomb) is bit-identical to the unrolled CIOS."""
+    import jax
+    import jax.numpy as jnp
+
+    from latticefold_tpu.rings.construct import get_ring
+
+    for name in ("goldilocks", "babybear"):  # nl<=2: both forms compile fast
+        ring = get_ring(name)
+        m = ring.fq
+        rng = np.random.default_rng(23)
+        lim = rng.integers(0, 1 << 32, size=(33, 7, m.nl), dtype=np.uint64).astype(np.uint32)
+        lim[..., -1] >>= 2
+        a = jnp.asarray(lim)
+        b = jnp.asarray(np.roll(lim, 1, axis=0))
+        loop = np.asarray(jax.jit(lambda x, y: mo._mont_mul_loop(m, x, y))(a, b))
+        unrolled = np.asarray(mo.mont_mul(m, a, b))
+        assert np.array_equal(loop, unrolled), name

@@ -38,6 +38,24 @@ from latticefold_tpu.rings.construct import get_ring
 RING = get_ring("frog")
 
 
+@pytest.fixture(autouse=True)
+def _eager_on_cpu():
+    """On the CPU test backend, run the LF+ protocol tests eagerly: their
+    batched sumcheck comb kernels inline hundreds of Montgomery muls per jit
+    and XLA:CPU's LLVM -O2 is superlinear on those carry-chain graphs
+    (>20 min per kernel; see tests/conftest.py note). The fixtures are tiny,
+    so per-op eager dispatch is seconds per test; TPU backends (where these
+    graphs compile in seconds and jit is the production path) are
+    unaffected."""
+    import contextlib
+
+    import jax
+
+    ctx = jax.disable_jit() if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    with ctx:
+        yield
+
+
 def dparams(k=2):
     ring = RING
     b = ring.d // 2
