@@ -48,7 +48,8 @@ def main():
     import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"))
+    backend_tag = "tpu" if os.environ.get("JAX_PLATFORMS", "") != "cpu" else "cpu"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", f"jax-{backend_tag}"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

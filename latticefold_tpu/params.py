@@ -37,7 +37,7 @@ DP_STARK_FOLDING = DecompositionParams(B=3010936384, L=8, b=38, K=6)
 # #[ignore]d for this reason (nifs/tests.rs:139-148). Choosing b=2 from the
 # same b^K >= B grid keeps the sumcheck at degree 4 (more, smaller folded
 # instances: K=32), making Stark end-to-end folding actually runnable.
-DP_STARK_E2E = DecompositionParams(B=3010936384, L=8, b=2, K=32)
+DP_STARK_E2E = DecompositionParams(B=1 << 32, L=8, b=2, K=32)
 # small params for fast tests (reference test_params::DP)
 DP_TEST = DecompositionParams(B=1024, L=2, b=2, K=10)
 DP_TEST_L1 = DecompositionParams(B=1024, L=1, b=2, K=10)

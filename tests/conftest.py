@@ -32,7 +32,10 @@ import jax
 # initialized yet.
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax"))
+# cpu-specific cache dir: TPU-session runs (bench.py over the tunnel) emit
+# CPU AOT helper entries compiled with the remote helper's machine features,
+# which execute pathologically here — keep the backends' caches apart
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax-cpu"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -116,7 +116,14 @@ def test_nifs_e2e_stark():
     """Stark-prime end-to-end fold. The reference cannot run this at its own
     StarkDP (b=320 -> degree-640 sumcheck; its tests are #[ignore]d at
     nifs/tests.rs:139-148); DP_STARK_E2E picks b=2 from the same b^K >= B
-    grid so the folding sumcheck stays degree 4."""
+    grid so the folding sumcheck stays degree 4. Eager on CPU (nl=8 protocol
+    kernels are XLA:CPU compile bombs — see tests/conftest.py)."""
+    import contextlib
+
+    import jax
+
     from latticefold_tpu.params import DP_STARK_E2E
 
-    _run_e2e("stark", DP_STARK_E2E)
+    ctx = jax.disable_jit() if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    with ctx:
+        _run_e2e("stark", DP_STARK_E2E)
