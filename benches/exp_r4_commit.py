@@ -1,0 +1,136 @@
+"""True cost decomposition of the current ajtai_commit_cm path (dispatch-corrected).
+
+Per-call dispatch over the tunneled backend is ~25 ms; every number here uses
+enough in-loop iterations that it contributes <3%, and we also report the
+calibrated dispatch so the residual can be subtracted.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from latticefold_tpu import modops as mo
+from latticefold_tpu.commitment import AjtaiScheme
+from latticefold_tpu.rings import mxu
+from latticefold_tpu.rings.construct import get_ring
+
+
+def run(fn, args, iters, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + fn(*args, acc).astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def rand_batch(ring, rng, shape):
+    full = tuple(shape) + (ring.ncomp, ring.e)
+    ints = rng.integers(0, ring.q, size=full, dtype=np.uint64)
+    limbs = np.stack(
+        [(ints & 0xFFFFFFFF).astype(np.uint32), (ints >> 32).astype(np.uint32)],
+        axis=-1,
+    )
+    return jnp.asarray(limbs)
+
+
+def main():
+    ring = get_ring("goldilocks")
+    kappa, n = 9, 1 << 15
+    rng = np.random.default_rng(0)
+    scheme = AjtaiScheme(ring, kappa, n, seed=1)
+    planes = scheme._mxu_planes  # [c, kappa*e, n, 4nl]
+
+    # dispatch calibration
+    s = jnp.zeros((8, 128), jnp.int32)
+    disp = run(lambda s, acc: s + acc, (s,), 16)
+    print(f"dispatch per call: {disp*1e3:.1f} ms")
+
+    for Nb, iters in ((16, 256), (64, 64)):
+        fcm = jnp.transpose(rand_batch(ring, rng, (n, Nb)), (2, 0, 3, 1, 4))
+
+        def full(planes, fcm, acc):
+            f = fcm ^ (acc & 1).astype(jnp.uint32)
+            return mxu.ajtai_commit_cm(ring, planes, f)
+
+        t = run(full, (planes, fcm), iters)
+        per = (t - disp) / iters
+        print(f"b{Nb} full commit_cm: {per*1e3:.3f} ms -> {Nb/per:,.0f} commits/s")
+
+        # stage 1: rhs planes only
+        def planes_only(fcm, acc):
+            f = fcm ^ (acc & 1).astype(jnp.uint32)
+            rhs = f.reshape(ring.ncomp, n, ring.e * Nb, ring.nl)
+            return mxu.to_planes(rhs)
+
+        t = run(planes_only, (fcm,), iters)
+        print(f"  rhs planes only: {(t-disp)/iters*1e3:.3f} ms")
+
+        # stage 2: planes + dot (skip epilogue)
+        def dot_only(planes, fcm, acc):
+            f = fcm ^ (acc & 1).astype(jnp.uint32)
+            rhs = f.reshape(ring.ncomp, n, ring.e * Nb, ring.nl)
+            rhs_planes = mxu.to_planes(rhs)
+            lo, hi = mxu._plane_dot(planes, rhs_planes)
+            return lo + hi
+
+        t = run(dot_only, (planes, fcm), iters)
+        print(f"  planes+dot: {(t-disp)/iters*1e3:.3f} ms")
+
+        # stage 3: epilogue only (fixed random plane-dot output)
+        DA = DB = 4 * ring.nl
+        lo = jnp.asarray(
+            rng.integers(0, 1 << 24, size=(ring.ncomp, kappa * ring.e, DA, ring.e * Nb, DB), dtype=np.uint32)
+        )
+        hi = jnp.asarray(
+            rng.integers(0, 1 << 10, size=lo.shape, dtype=np.uint32)
+        )
+
+        def epi_only(lo, hi, acc):
+            l = lo ^ (acc & 1).astype(jnp.uint32)
+            u = mxu._group_positions(l, hi, DA, DB)
+            t_limbs = mxu._carry_pack(u, 2 * ring.nl + 1)
+            P = mxu._redc_wide(ring.fq, t_limbs)
+            # ext-structure fold (copy of ajtai_commit_cm tail)
+            P = P.reshape(ring.ncomp, kappa, ring.e, ring.e, Nb, ring.nl)
+            conv = [None] * (2 * ring.e - 1)
+            for i in range(ring.e):
+                for j in range(ring.e):
+                    term = P[:, :, i, j]
+                    s = i + j
+                    conv[s] = term if conv[s] is None else mo.add(ring.fq, conv[s], term)
+            out = conv[: ring.e]
+            red = jnp.asarray(mxu._red_rows_np(ring))
+            for k in range(ring.e - 1):
+                prod = mo.mont_mul(ring.fq, conv[ring.e + k][..., None, :], red[k])
+                for tt in range(ring.e):
+                    out[tt] = mo.add(ring.fq, out[tt], prod[..., tt, :])
+            return jnp.stack(out, axis=-2)
+
+        t = run(epi_only, (lo, hi), iters)
+        print(f"  epilogue only: {(t-disp)/iters*1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Separate per-call dispatch overhead from per-iteration kernel cost."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def run(fn, args, iters, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + fn(*args, acc).astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    K = 1 << 15
+
+    # 1. trivial kernel: u32 xor-reduce of 56.6MB (fused, read-only)
+    x = jnp.asarray(rng.integers(0, 1 << 32, size=(1728, K // 2), dtype=np.uint64).astype(np.uint32))
+
+    def red(x, acc):
+        return ((x ^ acc.astype(jnp.uint32)).sum())[None]
+
+    for iters in (16, 64, 256):
+        t = run(red, (x,), iters)
+        per = t / iters
+        print(f"u32 reduce 113MB iters={iters}: total {t*1e3:.2f} ms, per-iter {per*1e3:.3f} ms ({x.nbytes/per/1e9:.0f} GB/s)")
+
+    # 2. the commit dot, same iters scan
+    ai = jnp.asarray(rng.integers(-128, 128, size=(1728, K)).astype(np.int8))
+    bi = jnp.asarray(rng.integers(-128, 128, size=(K, 384)).astype(np.int8))
+
+    def dot(a, b, acc):
+        bb = b ^ (acc & 1).astype(jnp.int8)
+        return jax.lax.dot_general(
+            a, bb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    for iters in (16, 64, 256):
+        t = run(dot, (ai, bi), iters)
+        print(f"i8 dot [1728,K]x[K,384] iters={iters}: per-iter {t/iters*1e3:.3f} ms")
+
+    # 3. empty-ish loop: pure dispatch
+    s = jnp.zeros((8, 128), jnp.int32)
+
+    def triv(s, acc):
+        return s + acc
+
+    for iters in (16, 256):
+        t = run(triv, (s,), iters)
+        print(f"trivial iters={iters}: total {t*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

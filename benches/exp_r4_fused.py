@@ -1,0 +1,106 @@
+"""Validate + time the fused Pallas commit kernel vs the XLA path."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from latticefold_tpu.commitment import AjtaiScheme
+from latticefold_tpu.rings import mxu, pallas_commit as pc
+from latticefold_tpu.rings.construct import get_ring
+
+
+def rand_batch(ring, rng, shape):
+    full = tuple(shape) + (ring.ncomp, ring.e)
+    ints = rng.integers(0, ring.q, size=full, dtype=np.uint64)
+    limbs = np.stack(
+        [(ints & 0xFFFFFFFF).astype(np.uint32)]
+        + ([(ints >> 32).astype(np.uint32)] if ring.nl == 2 else []),
+        axis=-1,
+    )
+    return jnp.asarray(limbs)
+
+
+def run(fn, args, iters, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + fn(*args, acc).astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    # --- correctness at small + multi-slice shapes, goldilocks + frog
+    for name, kappa, n, Nb in (
+        ("goldilocks", 3, 512, 3),
+        ("goldilocks", 2, 3 * (1 << 15), 2),  # multi-slice path
+        ("frog", 3, 512, 5),
+        ("babybear", 2, 512, 2),
+    ):
+        ring = get_ring(name)
+        scheme = AjtaiScheme(ring, kappa, n, seed=2)
+        fcm = jnp.transpose(rand_batch(ring, rng, (n, Nb)), (2, 0, 3, 1, 4))
+        want = np.asarray(mxu.ajtai_commit_cm(ring, scheme._mxu_planes, fcm))
+        pre = pc.precompute(ring, scheme.matrix)
+        got = np.asarray(pc.ajtai_commit_fused(ring, pre, fcm))
+        ok = np.array_equal(got, want)
+        print(f"{name} k{kappa} n{n} b{Nb}: fused == xla: {ok}")
+        if not ok:
+            bad = got != want
+            print("  mismatches:", bad.sum(), "/", bad.size)
+            return
+
+    # --- speed at the bench shape
+    ring = get_ring("goldilocks")
+    kappa, n = 9, 1 << 15
+    scheme = AjtaiScheme(ring, kappa, n, seed=1)
+    pre = pc.precompute(ring, scheme.matrix)
+
+    s = jnp.zeros((8, 128), jnp.int32)
+    disp = run(lambda s, acc: s + acc, (s,), 16)
+    print(f"dispatch per call: {disp*1e3:.1f} ms")
+
+    for Nb, iters in ((16, 256), (64, 128)):
+        fcm = jnp.transpose(rand_batch(ring, rng, (n, Nb)), (2, 0, 3, 1, 4))
+
+        def fused(pre_lhs, pre_sm, fcm, acc):
+            f = fcm ^ (acc & 1).astype(jnp.uint32)
+            return pc._commit_fused(ring, pre.rows, pre_lhs, pre_sm, f)
+
+        t = run(fused, (pre.lhs_i8, pre.sM, fcm), iters)
+        per = (t - disp) / iters
+        print(f"b{Nb} fused commit: {per*1e3:.3f} ms -> {Nb/per:,.0f} commits/s")
+
+        # xor-copy overhead reference (same perturbation, no commit)
+        def copy_only(fcm, acc):
+            return fcm ^ (acc & 1).astype(jnp.uint32)
+
+        t = run(copy_only, (fcm,), iters)
+        print(f"  xor-copy overhead: {(t-disp)/iters*1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Kernel-variant shootout for the fused commit dot (b16 + b64 shapes).
+
+Isolates: plane-build cost, sW cost, dot cost, and tries the pre-XOR +
+truncating-cast plane build and the ones-row sW trick.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def run(fn, args, iters, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + fn(*args, acc).astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+C, MPAD, N = 8, 224, 1 << 15
+
+
+def make_call(kern, L, kb, n_out_rows=MPAD):
+    return pl.pallas_call(
+        kern,
+        grid=(C, N // kb),
+        in_specs=[
+            pl.BlockSpec((1, MPAD, kb), lambda ci, ki: (ci, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, L), lambda ci, ki: (ci, ki, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_out_rows, 4 * L), lambda ci, ki: (ci, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_out_rows, 4 * L), jnp.int32),
+    )
+
+
+def kern_v1(a_ref, w_ref, p_ref):
+    """current: i32 slabs, concat, cast; no sW here."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    w = w_ref[0]
+    parts = [(((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int32) - 128) for b in range(4)]
+    pi = jnp.concatenate(parts, axis=-1).astype(jnp.int8)
+    p_ref[0] += jax.lax.dot_general(a_ref[0], pi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+def kern_v2(a_ref, w_ref, p_ref):
+    """pre-XOR + truncating u32->i8 casts, i8 concat."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    w = w_ref[0] ^ jnp.uint32(0x80808080)
+    parts = [((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int8) for b in range(4)]
+    pi = jnp.concatenate(parts, axis=-1)
+    p_ref[0] += jax.lax.dot_general(a_ref[0], pi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+def kern_planes_only(a_ref, w_ref, p_ref):
+    """plane build only (v2 style), checksum into p via cheap add."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    w = w_ref[0] ^ jnp.uint32(0x80808080)
+    parts = [((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int8) for b in range(4)]
+    pi = jnp.concatenate(parts, axis=-1)
+    p_ref[0, 0:1, :] += jnp.sum(pi.astype(jnp.int32), axis=0, keepdims=True)
+
+
+def kern_dot_only(a_ref, w_ref, p_ref):
+    """dot on fake planes (reuse low bytes w/o extraction): NOT exact, timing only."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    w = w_ref[0]
+    pi = jnp.concatenate([w.astype(jnp.int8)] * 4, axis=-1)
+    p_ref[0] += jax.lax.dot_general(a_ref[0], pi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    s = jnp.zeros((8, 128), jnp.int32)
+    disp = run(lambda s, acc: s + acc, (s,), 16)
+    print(f"dispatch: {disp*1e3:.1f} ms")
+
+    for Nb, iters in ((16, 128), (64, 64)):
+        L = 3 * Nb * 2
+        a = jnp.asarray(rng.integers(-128, 128, size=(C, MPAD, N)).astype(np.int8))
+        w = jnp.asarray(rng.integers(0, 1 << 32, size=(C, N, L), dtype=np.uint64).astype(np.uint32))
+
+        for name, kern, kbs in (
+            ("v1 i32-slabs", kern_v1, (2048,)),
+            ("v2 xor+trunc", kern_v2, (1024, 2048, 4096)),
+            ("planes-only", kern_planes_only, (2048,)),
+            ("dot-only(fake)", kern_dot_only, (2048,)),
+        ):
+            for kb in kbs:
+                vmem = 2 * (MPAD * kb + kb * L * 4 + kb * 4 * L) + MPAD * 4 * L * 4
+                if vmem > 14 * (1 << 20):
+                    continue
+                call = make_call(kern, L, kb)
+
+                def f(a, w, acc, call=call):
+                    ww = w ^ (acc & 1).astype(jnp.uint32)
+                    return call(a, ww)
+
+                try:
+                    t = run(f, (a, w), iters)
+                    print(f"b{Nb} {name} kb{kb}: {(t-disp)/iters*1e3:.3f} ms")
+                except Exception as e:
+                    print(f"b{Nb} {name} kb{kb}: FAILED {type(e).__name__} {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

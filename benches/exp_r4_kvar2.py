@@ -1,0 +1,109 @@
+"""Fused-commit kernel round 2: batched-dot grid, DMA isolation."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def run(fn, args, iters, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + fn(*args, acc).astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+C, MPAD, N = 8, 224, 1 << 15
+
+
+def batched_kernel(a_ref, w_ref, p_ref):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    w = w_ref[:] ^ jnp.uint32(0x80808080)  # [C, kb, L]
+    parts = [((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int8) for b in range(4)]
+    pi = jnp.concatenate(parts, axis=-1)  # [C, kb, 4L]
+    p_ref[:] += jax.lax.dot_general(
+        a_ref[:], pi, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )
+
+
+def dma_kernel(a_ref, w_ref, p_ref):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    p_ref[:, 0:1, 0:1] += (
+        a_ref[:, 0:1, 0:1].astype(jnp.int32) + w_ref[:, 0:1, 0:1].astype(jnp.int32)
+    )
+
+
+def main():
+    rng = np.random.default_rng(0)
+    s = jnp.zeros((8, 128), jnp.int32)
+    disp = run(lambda s, acc: s + acc, (s,), 16)
+    print(f"dispatch: {disp*1e3:.1f} ms")
+
+    for Nb, iters in ((16, 128), (64, 64)):
+        L = 3 * Nb * 2
+        a = jnp.asarray(rng.integers(-128, 128, size=(C, MPAD, N)).astype(np.int8))
+        w = jnp.asarray(rng.integers(0, 1 << 32, size=(C, N, L), dtype=np.uint64).astype(np.uint32))
+
+        for kern, name in ((batched_kernel, "batched dot"), (dma_kernel, "dma only")):
+            for kb in (1024, 2048, 4096):
+                vmem = 2 * C * (MPAD * kb + kb * L * 4 + kb * 4 * L) + C * MPAD * 4 * L * 4
+                if vmem > 14 * (1 << 20):
+                    continue
+                call = pl.pallas_call(
+                    kern,
+                    grid=(N // kb,),
+                    in_specs=[
+                        pl.BlockSpec((C, MPAD, kb), lambda ki: (0, 0, ki), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((C, kb, L), lambda ki: (0, ki, 0), memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((C, MPAD, 4 * L), lambda ki: (0, 0, 0), memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((C, MPAD, 4 * L), jnp.int32),
+                )
+
+                def f(a, w, acc, call=call):
+                    ww = w ^ (acc & 1).astype(jnp.uint32)
+                    return call(a, ww)
+
+                try:
+                    t = run(f, (a, w), iters)
+                    print(f"b{Nb} {name} kb{kb}: {(t-disp)/iters*1e3:.3f} ms")
+                except Exception as e:
+                    print(f"b{Nb} {name} kb{kb}: FAILED {type(e).__name__} {str(e)[:160]}")
+
+
+if __name__ == "__main__":
+    main()

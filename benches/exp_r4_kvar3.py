@@ -1,0 +1,107 @@
+"""Fused-commit kernel round 3: K-major lhs, DMA isolation, per-(c,k) grid."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def run(fn, args, iters, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + fn(*args, acc).astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+C, MPAD, N = 8, 224, 1 << 15
+
+
+def main():
+    rng = np.random.default_rng(0)
+    s = jnp.zeros((8, 128), jnp.int32)
+    disp = run(lambda s, acc: s + acc, (s,), 16)
+    print(f"dispatch: {disp*1e3:.1f} ms")
+
+    for Nb, iters in ((16, 128), (64, 64)):
+        L = 3 * Nb * 2
+        at = jnp.asarray(rng.integers(-128, 128, size=(C, N, MPAD)).astype(np.int8))
+        w = jnp.asarray(rng.integers(0, 1 << 32, size=(C, N, L), dtype=np.uint64).astype(np.uint32))
+
+        def kmajor_kernel(a_ref, w_ref, p_ref):
+            k = pl.program_id(1)
+
+            @pl.when(k == 0)
+            def _():
+                p_ref[:] = jnp.zeros_like(p_ref)
+
+            ww = w_ref[0] ^ jnp.uint32(0x80808080)
+            parts = [((ww >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int8) for b in range(4)]
+            pi = jnp.concatenate(parts, axis=-1)
+            p_ref[0] += jax.lax.dot_general(
+                a_ref[0], pi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+
+        def dma_kernel(a_ref, w_ref, p_ref):
+            k = pl.program_id(1)
+
+            @pl.when(k == 0)
+            def _():
+                p_ref[:] = jnp.zeros_like(p_ref)
+
+            p_ref[0, 0:1, 0:1] += (
+                a_ref[0, 0:1, 0:1].astype(jnp.int32) + w_ref[0, 0:1, 0:1].astype(jnp.int32)
+            )
+
+        for kern, name in ((kmajor_kernel, "kmajor dot"), (dma_kernel, "dma only")):
+            for kb in (2048, 4096, 8192):
+                vmem = 2 * (MPAD * kb + kb * L * 4 + kb * 4 * L) + MPAD * 4 * L * 4
+                if vmem > 13 * (1 << 20):
+                    continue
+                call = pl.pallas_call(
+                    kern,
+                    grid=(C, N // kb),
+                    in_specs=[
+                        pl.BlockSpec((1, kb, MPAD), lambda ci, ki: (ci, ki, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, kb, L), lambda ci, ki: (ci, ki, 0), memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, MPAD, 4 * L), lambda ci, ki: (ci, 0, 0), memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((C, MPAD, 4 * L), jnp.int32),
+                )
+
+                def f(a, w, acc, call=call):
+                    ww = w ^ (acc & 1).astype(jnp.uint32)
+                    return call(a, ww)
+
+                try:
+                    t = run(f, (at, w), iters)
+                    print(f"b{Nb} {name} kb{kb}: {(t-disp)/iters*1e3:.3f} ms")
+                except Exception as e:
+                    print(f"b{Nb} {name} kb{kb}: FAILED {type(e).__name__} {str(e)[:160]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Round-4 probe: which axis of the commit dot sets the ~1.5 ms floor.
+
+All dots bf16 1-pass (exactness ignored here; timing only).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu")
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def timeit_loop(fn, args, iters=16, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            out = fn(*args, acc)
+            return acc + out.astype(jnp.float32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    np.asarray(loop(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times) / iters
+
+
+def bf16(shape, rng):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+
+def main():
+    rng = np.random.default_rng(0)
+    K = 1 << 15
+
+    def dot(a, b, acc):
+        bb = b + acc.astype(jnp.bfloat16) * 0  # keep dependency w/o perturbing cost
+        bb = bb.at[(0,) * bb.ndim].add(acc.astype(jnp.bfloat16))
+        return jax.lax.dot_general(
+            a, bb,
+            (((a.ndim - 1,), (b.ndim - 2,)),
+             (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2)))),
+            preferred_element_type=jnp.float32,
+        )
+
+    cases = [
+        ("flat  [1728,K]x[K,384]", (1728, K), (K, 384)),
+        ("flat  [216,K]x[K,384]", (216, K), (K, 384)),
+        ("flat  [256,K]x[K,384]", (256, K), (K, 384)),
+        ("flat  [1728,K]x[K,128]", (1728, K), (K, 128)),
+        ("flat  [1728,K]x[K,3072]", (1728, K), (K, 3072)),
+        ("flat  [384,K]x[K,1728] (swap)", (384, K), (K, 1728)),
+        ("batch 8x[216,K]x[K,384]", (8, 216, K), (8, K, 384)),
+        ("batch 8x[216,K]x[K,48]", (8, 216, K), (8, K, 48)),
+        ("flat  [1728,4096]x[4096,384]", (1728, 4096), (4096, 384)),
+        ("flat  [4096,4096]x[4096,4096]", (4096, 4096), (4096, 4096)),
+        ("flat  [1728,4096]x[4096,3072]", (1728, 4096), (4096, 3072)),
+    ]
+    for name, sa, sb in cases:
+        a, b = bf16(sa, rng), bf16(sb, rng)
+        t = timeit_loop(dot, (a, b), iters=16)
+        m = int(np.prod(sa[:-1])) if len(sa) == 2 else sa[1]
+        batch = sa[0] if len(sa) == 3 else 1
+        flops = 2 * batch * (sa[-2] * sa[-1] * sb[-1])
+        print(f"{name}: {t*1e3:7.3f} ms  ({flops/t/1e12:6.1f} TF/s)")
+
+    # HBM read reference: reduce 56.6 MB
+    big = jnp.asarray(rng.integers(0, 255, size=(1728, K), dtype=np.uint8))
+
+    def red(x, acc):
+        xx = x.at[0, 0].add((acc.astype(jnp.uint8)) * 0 + 1)
+        return xx.astype(jnp.float32).sum()[None]
+
+    t = timeit_loop(red, (big,), iters=16)
+    print(f"u8 reduce 56.6MB: {t*1e3:7.3f} ms  ({big.size/t/1e9:.0f} GB/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Round-4 chip probes: commit-kernel dot variants + CRT time decomposition.
+
+Run on the TPU backend (default). Subcommands:
+
+  python benches/exp_r4_probe.py i8exact     # Pallas signed-i8 dot exactness
+  python benches/exp_r4_probe.py dotspeed    # dot variants at the commit shape
+  python benches/exp_r4_probe.py crt         # CRT pipeline time decomposition
+
+Timing discipline (memory: tunneled backend, ~15 ms/dispatch): every timed
+region is ONE jitted fori_loop with a loop-carried 1-element perturbation and
+a small checksum output.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu")
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def timeit_loop(fn, args, iters=32, reps=5):
+    """fn(args) -> small array; runs fn iters times inside one jitted loop."""
+
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            out = fn(*args, acc)
+            # full reduction: every output element feeds the carried scalar,
+            # so DCE cannot shrink the computation
+            return acc + out.astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))  # compile + warm; np.asarray forces completion
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))  # block_until_ready under-reports on axon
+        times.append(time.perf_counter() - t0)
+    return min(times) / iters
+
+
+# ---------------------------------------------------------------------------
+# 1. Pallas signed-i8 dot exactness
+# ---------------------------------------------------------------------------
+
+
+def probe_i8exact():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K, N = 256, 2048, 256
+    rng = np.random.default_rng(0)
+    a = rng.integers(-128, 128, size=(M, K)).astype(np.int8)
+    b = rng.integers(-128, 128, size=(K, N)).astype(np.int8)
+    want = a.astype(np.int64) @ b.astype(np.int64)
+    assert np.abs(want).max() < 2**31
+
+    def kern(a_ref, b_ref, o_ref):
+        o_ref[:] = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+
+    got = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(a), jnp.asarray(b))
+    got = np.asarray(got)
+    ok = np.array_equal(got, want.astype(np.int32))
+    print("pallas i8xi8->i32 exact:", ok)
+    if not ok:
+        bad = got != want
+        print("  mismatches:", bad.sum(), "/", bad.size)
+        print("  max |err|:", np.abs(got.astype(np.int64) - want).max())
+
+    # u8 for comparison (round-3 probe said inexact)
+    au = rng.integers(0, 256, size=(M, K)).astype(np.uint8)
+    bu = rng.integers(0, 256, size=(K, N)).astype(np.uint8)
+    wantu = au.astype(np.int64) @ bu.astype(np.int64)
+
+    def kern_u(a_ref, b_ref, o_ref):
+        o_ref[:] = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+
+    gotu = pl.pallas_call(
+        kern_u,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(au), jnp.asarray(bu))
+    print("pallas u8xu8->i32 exact:", np.array_equal(np.asarray(gotu), wantu))
+
+    # and an i8 dot with larger K (commit-scale contraction)
+    K2 = 1 << 15
+    a2 = rng.integers(-128, 128, size=(8, K2)).astype(np.int8)
+    b2 = rng.integers(-128, 128, size=(K2, 128)).astype(np.int8)
+    want2 = a2.astype(np.int64) @ b2.astype(np.int64)
+    assert np.abs(want2).max() < 2**31
+
+    def kern2(a_ref, b_ref, o_ref):
+        o_ref[:] = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+
+    got2 = pl.pallas_call(
+        kern2,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(a2), jnp.asarray(b2))
+    print("pallas i8 K=2^15 exact:", np.array_equal(np.asarray(got2), want2))
+
+
+# ---------------------------------------------------------------------------
+# 2. dot speed variants at the commit shape
+# ---------------------------------------------------------------------------
+
+
+def probe_dotspeed():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = 1728, 1 << 15
+    rng = np.random.default_rng(0)
+    for N in (384, 1536):
+        a8 = jnp.asarray(rng.integers(0, 256, size=(M, K)).astype(np.uint8))
+        b8 = jnp.asarray(rng.integers(0, 256, size=(K, N)).astype(np.uint8))
+        ai = jnp.asarray(rng.integers(-128, 128, size=(M, K)).astype(np.int8))
+        bi = jnp.asarray(rng.integers(-128, 128, size=(K, N)).astype(np.int8))
+
+        # (a) current XLA u8 dot (lowered ~3 bf16 passes per round-3 probes)
+        def xla_u8(a, b, acc):
+            bb = b ^ (acc & 1).astype(jnp.uint8)
+            return jax.lax.dot_general(
+                a, bb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+
+        t = timeit_loop(xla_u8, (a8, b8), iters=16)
+        print(f"N={N} xla u8 dot: {t*1e3:.3f} ms")
+
+        # (b) XLA i8 dot
+        def xla_i8(a, b, acc):
+            bb = b ^ (acc & 1).astype(jnp.int8)
+            return jax.lax.dot_general(
+                a, bb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+
+        t = timeit_loop(xla_i8, (ai, bi), iters=16)
+        print(f"N={N} xla i8 dot: {t*1e3:.3f} ms")
+
+        # (c) XLA bf16 single-pass, K chunked at 256 (values <=255 exact,
+        # f32 accum < 2^24 per chunk), u32 running accumulation
+        def xla_bf16(a, b, acc):
+            bb = (b ^ (acc & 1).astype(jnp.uint8)).astype(jnp.bfloat16)
+            aa = a.astype(jnp.bfloat16)
+            out = None
+            for lo in range(0, K, 256):
+                p = jax.lax.dot_general(
+                    aa[:, lo : lo + 256],
+                    bb[lo : lo + 256],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pu = p.astype(jnp.uint32)
+                out = pu if out is None else out + pu
+            return out
+
+        t = timeit_loop(xla_bf16, (a8, b8), iters=8)
+        print(f"N={N} xla bf16 chunk256 (128 dots): {t*1e3:.3f} ms")
+
+        # (d) Pallas i8 dot, grid over K with VMEM accumulation
+        KB = 2048
+
+        def pall_kern(a_ref, b_ref, o_ref):
+            k = pl.program_id(0)
+
+            @pl.when(k == 0)
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+
+            o_ref[:] += jnp.dot(
+                a_ref[:], b_ref[:], preferred_element_type=jnp.int32
+            )
+
+        pcall = pl.pallas_call(
+            pall_kern,
+            grid=(K // KB,),
+            in_specs=[
+                pl.BlockSpec((M, KB), lambda k: (0, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((KB, N), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        )
+
+        def pall_i8(a, b, acc):
+            bb = b ^ (acc & 1).astype(jnp.int8)
+            return pcall(a, bb)
+
+        try:
+            t = timeit_loop(pall_i8, (ai, bi), iters=16)
+            print(f"N={N} pallas i8 grid dot: {t*1e3:.3f} ms")
+        except Exception as e:  # noqa: BLE001
+            print(f"N={N} pallas i8 grid dot FAILED: {type(e).__name__}: {e}")
+
+        # (e) f32-preferred i8 XLA dot — sometimes picks a different lowering
+        def xla_i8_f32(a, b, acc):
+            bb = b ^ (acc & 1).astype(jnp.int8)
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), bb.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        t = timeit_loop(xla_i8_f32, (ai, bi), iters=16)
+        print(f"N={N} xla bf16 1-pass (INEXACT ref, K full): {t*1e3:.3f} ms")
+
+
+# ---------------------------------------------------------------------------
+# 3. CRT time decomposition
+# ---------------------------------------------------------------------------
+
+
+def probe_crt():
+    from latticefold_tpu import modops as mo
+    from latticefold_tpu.rings import mxu
+    from latticefold_tpu.rings.construct import get_ring
+
+    ring = get_ring("goldilocks")
+    n = 1 << 15
+    rng = np.random.default_rng(0)
+    ints = rng.integers(0, ring.q, size=(n, ring.d), dtype=np.uint64)
+    coeffs = jnp.asarray(
+        np.stack(
+            [(ints & 0xFFFFFFFF).astype(np.uint32), (ints >> 32).astype(np.uint32)],
+            axis=-1,
+        )
+    )
+
+    C = jnp.asarray(mxu._crt_conv_np(ring, "crt"), dtype=jnp.bfloat16)
+    KB = C.shape[0]  # d * 4nl = 192
+    S = 8 * ring.nl - 1 + 8 * ring.nl  # positions span
+
+    # full crt
+    def full(c, acc):
+        cc = c ^ (acc & 1).astype(jnp.uint32)
+        return mxu.crt(ring, cc).ravel()[:8]
+
+    t = timeit_loop(full, (coeffs,), iters=16)
+    print(f"crt full: {t*1e3:.3f} ms -> {n/t/1e6:.2f} M el/s")
+
+    # dot only (planes + matmul, no epilogue)
+    def dot_only(c, acc):
+        cc = c ^ (acc & 1).astype(jnp.uint32)
+        xb = mxu.to_planes(cc).reshape(n, KB).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            xb, C, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return y.astype(jnp.uint32)
+
+    t = timeit_loop(dot_only, (coeffs,), iters=16)
+    print(f"crt dot+planes only: {t*1e3:.3f} ms")
+
+    # epilogue only: feed a fixed u-position array through carry-pack + REDC
+    u = jnp.asarray(
+        rng.integers(0, 1 << 24, size=(n, ring.d, 15), dtype=np.uint32)
+    )
+
+    def epi_only(u, acc):
+        uu = u ^ (acc & 1).astype(jnp.uint32)
+        u_list = [uu[..., s] for s in range(15)]
+        t_limbs = mxu._carry_pack(u_list, 2 * ring.nl + 1)
+        return mxu._redc_wide(ring.fq, t_limbs).ravel()[:8]
+
+    t = timeit_loop(epi_only, (u,), iters=16)
+    print(f"crt epilogue only: {t*1e3:.3f} ms")
+
+    # plain memcpy-scale op for harness overhead reference
+    def copy_only(c, acc):
+        return (c ^ (acc & 1).astype(jnp.uint32)).ravel()[:8]
+
+    t = timeit_loop(copy_only, (coeffs,), iters=16)
+    print(f"xor+slice only: {t*1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "i8exact"
+    dict(i8exact=probe_i8exact, dotspeed=probe_dotspeed, crt=probe_crt)[which]()

@@ -39,6 +39,45 @@ class R1CS:
             ring.rmul(a, b) == c for a, b, c in zip(Az, Bz, Cz)
         )
 
+    def relax(self) -> "RelaxedR1CS":
+        """Nova-style relaxation with u = 1, E = 0
+        (/root/reference/crates/latticefold/src/arith/r1cs.rs:43-54)."""
+        return RelaxedR1CS(
+            l=self.l,
+            A=self.A,
+            B=self.B,
+            C=self.C,
+            u=None,  # None encodes ring.one() without needing the ring here
+            E=None,  # None encodes the all-zero error vector
+        )
+
+
+@dataclass
+class RelaxedR1CS:
+    """Relaxed R1CS (Nova, eprint 2021/370 p.14): Az o Bz = u*(Cz) + E
+    (/root/reference/crates/latticefold/src/arith/r1cs.rs:71-101).
+
+    ``u`` is a ring element (None = one); ``E`` a host list of m ring
+    elements (None = zeros)."""
+
+    l: int
+    A: SparseMatrix
+    B: SparseMatrix
+    C: SparseMatrix
+    u: object = None
+    E: list = None
+
+    def check_relation(self, ring: Ring, z_host: list) -> bool:
+        Az = self.A.mat_vec_host(z_host)
+        Bz = self.B.mat_vec_host(z_host)
+        Cz = self.C.mat_vec_host(z_host)
+        u = ring.one() if self.u is None else self.u
+        E = [ring.zero()] * len(Cz) if self.E is None else self.E
+        return all(
+            ring.rmul(a, b) == ring.radd(ring.rmul(u, c), e)
+            for a, b, c, e in zip(Az, Bz, Cz, E)
+        )
+
 
 @dataclass
 class CCS:

@@ -41,6 +41,9 @@ class SparseMatrix:
         instead of a TPU-hostile scatter. Enables the streaming evaluation
         trick  mle[Mz](r) = <z, M^T eq_r>  (SURVEY.md §7.3: big-m memory
         discipline) without retaining Mz tables."""
+        if self._t is not None:
+            # a pad_rows after a cached transpose would leave stale dims
+            assert self._t.ncols == self.nrows and self._t.nrows == self.ncols
         if self._t is None:
             rows_t: List[List[Tuple]] = [[] for _ in range(self.ncols)]
             for i, row in enumerate(self.rows):
@@ -62,6 +65,7 @@ class SparseMatrix:
             self.rows = self.rows + [[] for _ in range(size - self.nrows)]
             self.nrows = size
             self._dev = None
+            self._t = None  # a cached transpose has stale ncols
 
     @property
     def scalar_coeffs(self) -> bool:

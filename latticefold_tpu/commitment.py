@@ -101,6 +101,22 @@ class AjtaiScheme:
 
         return mxu.ajtai_commit_cm(self.ring, self._mxu_planes, fcm)
 
+    @functools.cached_property
+    def _fused_planes(self):
+        from .rings import pallas_commit as pc
+
+        return pc.precompute(self.ring, self.matrix)
+
+    def commit_batch_fused(self, fcm) -> jnp.ndarray:
+        """commit_batch_cm on the fused Pallas kernel (witness byte planes
+        built in VMEM, native signed-i8 MXU dot — rings/pallas_commit.py).
+        Bit-identical output; the fast path on TPU backends (on CPU it runs
+        the Pallas interpreter, so tests exercise it but production CPU code
+        should prefer commit_batch_cm)."""
+        from .rings import pallas_commit as pc
+
+        return pc.ajtai_commit_fused(self.ring, self._fused_planes, fcm)
+
     def commit(self, f) -> Commitment:
         return Commitment(self.ring, list(rops.to_host(self.ring, self.commit_device(f))))
 

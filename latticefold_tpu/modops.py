@@ -249,6 +249,13 @@ def mont_mul(m: Modulus, a, b):
     compile vs ~2 s looped; bit-identical outputs, tested in
     tests/test_modops.py). TPU backends keep the unrolled form (fuses best,
     and the TPU compiler handles it fine).
+
+    Note (ADVICE r3): the loop-vs-unrolled choice keys off
+    jax.default_backend() at trace time and is baked into the per-Modulus jit
+    cache — this assumes one backend per process (true for every entry point
+    in this repo: tests pin CPU in conftest, benches run single-backend).
+    Mixed-backend processes would trace the unrolled form for explicitly
+    CPU-placed calls; both forms are bit-identical so this is perf-only.
     """
     nl = m.nl
     if (

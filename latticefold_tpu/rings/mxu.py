@@ -447,6 +447,15 @@ def ajtai_commit_cm(ring: Ring, lhs_planes, fcm):
     u = _group_positions(lo, hi, DA, DB)
     t_limbs = _carry_pack(u, 2 * nl + 1)
     P = _redc_wide(m, t_limbs)  # [c, kappa*e, e*Nb, nl] mont
+    return _ext_fold(ring, P, kappa, Nb)
+
+
+def _ext_fold(ring: Ring, P, kappa: int, Nb: int):
+    """Extension-structure tail of the commit: fold the (i, j) K-coordinate
+    pair products with the reduction rows of m(y) (shared by the XLA and
+    fused-Pallas commit paths). P: [c, kappa*e, e*Nb, nl] Montgomery ->
+    [kappa, Nb, c, e, nl]."""
+    m, e, ncomp, nl = ring.fq, ring.e, ring.ncomp, ring.nl
     P = P.reshape(ncomp, kappa, e, e, Nb, nl)
     # convolution over (i, j) with reduction rows (i+j >= e wraps via m(y))
     conv = [None] * (2 * e - 1)

@@ -1,0 +1,206 @@
+"""Fused Pallas Ajtai-commit kernel: witness byte planes never touch HBM.
+
+The XLA byte-plane path (rings/mxu.py:ajtai_commit_cm) materializes the rhs
+witness planes ([c, n, e*Nb, 4nl] u8 — 4x the witness bytes) in HBM between
+the plane-building pass and the dot, which dominates the commit at large
+batches (measured round 4: at b64 the planes+epilogue traffic is ~3x the
+dot). This kernel fuses plane building + MXU dot + witness column sums into
+one Pallas program per (component, K-block) grid cell, so the only HBM
+traffic is the witness (read once), the i8 matrix planes (read once) and the
+tiny i32 accumulators.
+
+MXU path: SIGNED i8 x i8 -> i32 dot — the native int8 MXU mode (u8 x u8 is
+silently inexact on this backend; signed i8 is exact, probed on-chip in
+benches/exp_r4_probe.py). Unsigned byte-plane semantics are recovered with
+rank-1 corrections:
+
+    A_u8 = A_i8 + 128,  W_u8 = W_i8 + 128
+    sum_n A_u8 W_u8 = (A_i8 . W_i8) + 128*colsum(W_i8) + 128*rowsum(A_i8)
+                      + 128^2 * K
+
+rowsum(A_i8) is precomputed with the matrix planes; colsum(W_i8) is
+accumulated by the kernel. All corrected values stay < 2^31 for K <= 2^15;
+longer contractions are split into <= 2^15 slices whose corrected position
+values are combined in (lo16, hi16) u32 accumulators exactly like the XLA
+path's K-chunking. The standard epilogue (position grouping, carry
+propagation, wide Montgomery reduction, extension-field fold) reuses
+rings/mxu.py unchanged — outputs are bit-identical to ajtai_commit_cm
+(differential-tested in tests/test_arith.py).
+
+Semantics parity: AjtaiCommitmentScheme::commit_ntt
+(/root/reference/crates/latticefold/src/commitment/commitment_scheme.rs:60-102).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import mxu
+from .construct import Ring
+
+_K_SLICE = 1 << 15  # 255^2 * 2^15 < 2^31: exact i32 accumulation per slice
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class FusedPlanes(NamedTuple):
+    lhs_i8: jnp.ndarray  # [c, Mpad, n] i8 signed matrix planes
+    sM: jnp.ndarray  # [c, n_slices, Mpad] i32 per-slice signed row sums
+    rows: int  # true (unpadded) row count = kappa * e * 4nl
+
+
+def precompute(ring: Ring, matrix) -> FusedPlanes:
+    """Montgomery Ajtai matrix [kappa, n, ncomp, e, nl] -> FusedPlanes.
+
+    Row r = (kappa*e index) * 4nl + (limb*4 + byte), identical to
+    mxu.ajtai_precompute's plane-dot row order; rows are zero-padded to a
+    multiple of 32 (i8 sublane tile) and the padding is dropped after the
+    kernel (its correction terms are garbage by construction).
+    """
+    planes = mxu.ajtai_precompute(ring, matrix)  # [c, kappa*e, n, 4nl] u8
+    c, ke, n, da = planes.shape
+    rows = ke * da
+    lhs = jnp.moveaxis(planes, -1, -2).reshape(c, rows, n)
+    lhs = (lhs ^ jnp.uint8(0x80)).astype(jnp.int8)
+    mpad = _round_up(rows, 32)
+    if mpad != rows:
+        lhs = jnp.pad(lhs, ((0, 0), (0, mpad - rows), (0, 0)))
+    n_slices = -(-n // _K_SLICE)
+    sums = [
+        jnp.sum(
+            lhs[:, :, s * _K_SLICE : min(n, (s + 1) * _K_SLICE)].astype(jnp.int32),
+            axis=-1,
+        )
+        for s in range(n_slices)
+    ]
+    sM = jnp.stack(sums, axis=1)  # [c, n_slices, Mpad]
+    return FusedPlanes(jax.device_put(lhs), jax.device_put(sM), rows)
+
+
+def _dot_kernel(a_ref, w_ref, p_ref, sw_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+        sw_ref[:] = jnp.zeros_like(sw_ref)
+
+    # signed byte planes, byte-major column order: col = byte*L + word.
+    # XOR 0x80 on every byte == subtract 128 in two's complement, so the
+    # truncating u32 -> i8 casts of the shifted words give the signed planes
+    # directly (one u32 op + 3 cheap ops per byte; measured the kernel is
+    # DMA-bound with this form, the plane build fully hidden).
+    w = w_ref[0] ^ jnp.uint32(0x80808080)  # [KB, L] u32 (L = e*Nb*nl words)
+    parts = [
+        ((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int8) for b in range(4)
+    ]
+    pi = jnp.concatenate(parts, axis=-1)  # [KB, 4L]
+    a = a_ref[0]  # [Mpad, KB] i8
+    p_ref[0] += jax.lax.dot_general(
+        a, pi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    sw_ref[0] += jnp.sum(pi.astype(jnp.int32), axis=0, keepdims=True)
+
+
+def _pick_kb(ks: int, L: int, mpad: int) -> int:
+    """Largest K block dividing ``ks`` with the witness block capped at
+    ~1.6 MB (empirically validated VMEM envelope: kb=4096 at L=96 and
+    kb=1024 at L=384 both compile and run; the kernel is DMA-bound so the
+    exact block size barely moves throughput)."""
+    for kb in (4096, 2048, 1024, 512, 256):
+        if ks % kb:
+            continue
+        if kb * L * 4 <= (1 << 20) + (1 << 19):
+            return kb
+    return ks  # no aligned divisor (tiny/odd shapes): single block
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _fused_slice(ring: Ring, lhs_slice, w_slice, kb: int):
+    """One <= 2^15 contraction slice: lhs [c, Mpad, Ks] i8, witness
+    [c, Ks, L] u32 -> (P [c, Mpad, 4L] i32 signed dot, sW [c, 4L] i32)."""
+    c, mpad, ks = lhs_slice.shape
+    L = w_slice.shape[-1]
+    p, sw = pl.pallas_call(
+        _dot_kernel,
+        grid=(c, ks // kb),
+        in_specs=[
+            pl.BlockSpec((1, mpad, kb), lambda ci, ki: (ci, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, L), lambda ci, ki: (ci, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mpad, 4 * L), lambda ci, ki: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * L), lambda ci, ki: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, mpad, 4 * L), jnp.int32),
+            jax.ShapeDtypeStruct((c, 1, 4 * L), jnp.int32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(lhs_slice, w_slice)
+    return p, sw[:, 0]
+
+
+def ajtai_commit_fused(ring: Ring, pre: FusedPlanes, fcm):
+    """Fused-commit drop-in for mxu.ajtai_commit_cm (bit-identical output).
+
+    fcm: [ncomp, n, e, Nb, nl] u32 Montgomery component-major witness batch.
+    Returns [kappa, Nb, ncomp, e, nl] u32 Montgomery.
+    """
+    return _commit_fused(ring, pre.rows, pre.lhs_i8, pre.sM, fcm)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _commit_fused(ring: Ring, rows: int, lhs_i8, sM, fcm):
+    e, c, nl = ring.e, ring.ncomp, ring.nl
+    da = 4 * nl
+    mpad = lhs_i8.shape[1]
+    n, Nb = fcm.shape[1], fcm.shape[3]
+    L = e * Nb * nl
+    w2d = fcm.reshape(c, n, L)
+
+    n_slices = -(-n // _K_SLICE)
+    acc_lo = acc_hi = None
+    for si in range(n_slices):
+        lo_k, hi_k = si * _K_SLICE, min(n, (si + 1) * _K_SLICE)
+        ks = hi_k - lo_k
+        kb = _pick_kb(ks, L, mpad)
+        p, sw = _fused_slice(ring, lhs_i8[:, :, lo_k:hi_k], w2d[:, lo_k:hi_k], kb)
+        # unsigned-plane corrections for this slice (exact, < 2^31)
+        pu = (
+            p
+            + 128 * sw[:, None, :]
+            + 128 * sM[:, si, :, None]
+            + jnp.int32(128 * 128 * ks)
+        ).astype(jnp.uint32)
+        plo, phi = pu & jnp.uint32(0xFFFF), pu >> 16
+        acc_lo = plo if acc_lo is None else acc_lo + plo
+        acc_hi = phi if acc_hi is None else acc_hi + phi
+
+    def reorder(x):
+        # rows: r = ke_i*DA + (limb*4 + byte)  (drop the i8-tile padding)
+        # cols: col = byte*L + (o*nl + limb) -> j = limb*4 + byte
+        x = x[:, :rows].reshape(c, rows // da, da, 4, e * Nb, nl)
+        x = jnp.transpose(x, (0, 1, 2, 4, 5, 3))
+        return x.reshape(c, rows // da, da, e * Nb, nl * 4)
+
+    u = mxu._group_positions(reorder(acc_lo), reorder(acc_hi), da, da)
+    t_limbs = mxu._carry_pack(u, 2 * nl + 1)
+    P = mxu._redc_wide(ring.fq, t_limbs)  # [c, kappa*e, e*Nb, nl] mont
+    kappa = rows // (da * e)
+    return mxu._ext_fold(ring, P, kappa, Nb)
+
+
+__all__ = ["FusedPlanes", "precompute", "ajtai_commit_fused"]

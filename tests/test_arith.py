@@ -118,6 +118,39 @@ def test_ccs_relation():
         assert dev == host
 
 
+def test_relaxed_r1cs():
+    """RelaxedR1CS (arith/r1cs.rs:71-101): a satisfying R1CS witness satisfies
+    the trivial relaxation (u=1, E=0); with u != 1 the relation needs the
+    matching error vector E = Az o Bz - u*Cz."""
+    from latticefold_tpu.arith.ccs import RelaxedR1CS  # noqa: F401
+
+    ring = get_ring("goldilocks")
+    r1cs = get_test_r1cs(ring)
+    z = get_test_z(ring, 3)
+    relaxed = r1cs.relax()
+    assert relaxed.check_relation(ring, z)
+
+    z_bad = list(z)
+    z_bad[2] = ring.embed_int(999)
+    assert not relaxed.check_relation(ring, z_bad)
+
+    # non-trivial (u, E): E := Az o Bz - u*Cz satisfies by construction
+    u = ring.embed_int(7)
+    Az = r1cs.A.mat_vec_host(z)
+    Bz = r1cs.B.mat_vec_host(z)
+    Cz = r1cs.C.mat_vec_host(z)
+    E = [
+        ring.rsub(ring.rmul(a, b), ring.rmul(u, c))
+        for a, b, c in zip(Az, Bz, Cz)
+    ]
+    nt = RelaxedR1CS(l=r1cs.l, A=r1cs.A, B=r1cs.B, C=r1cs.C, u=u, E=E)
+    assert nt.check_relation(ring, z)
+    E_bad = list(E)
+    E_bad[0] = ring.radd(E_bad[0], ring.one())
+    nt_bad = RelaxedR1CS(l=r1cs.l, A=r1cs.A, B=r1cs.B, C=r1cs.C, u=u, E=E_bad)
+    assert not nt_bad.check_relation(ring, z)
+
+
 def test_ajtai_commit_cm_matches_batch():
     """Component-major batched commit (mxu.ajtai_commit_cm) is bit-identical
     to the canonical-layout batched commit on random witnesses, all rings."""
@@ -150,3 +183,39 @@ def test_ajtai_commit_cm_matches_batch():
             fcm = jnp.transpose(f, (2, 0, 3, 1, 4))
             cm_cm = np.asarray(scheme.commit_batch_cm(fcm))
         assert (cm_std == cm_cm).all(), name
+
+
+def test_ajtai_commit_fused_matches_cm():
+    """Fused Pallas commit (rings/pallas_commit.py, signed-i8 MXU planes with
+    rank-1 corrections) is bit-identical to the XLA byte-plane path —
+    including the multi-slice K > 2^15 accumulation. Pallas runs interpreted
+    on the CPU backend, so a small multi-slice shape is used; TPU runs the
+    compiled kernel (validated on-chip round 4 at k9/n2^15/b16+b64)."""
+    import jax
+    import jax.numpy as jnp
+
+    on_cpu = jax.default_backend() == "cpu"
+    import latticefold_tpu.rings.pallas_commit as pc
+
+    if on_cpu:
+        # shrink the slice bound so the interpreter exercises 2 slices
+        old_slice = pc._K_SLICE
+        pc._K_SLICE = 256
+    try:
+        for name in ("goldilocks", "frog", "babybear"):
+            ring = get_ring(name)
+            n = 640 if on_cpu else 3 * (1 << 15)  # non-divisible multi-slice
+            kappa, Nb = 2, 3
+            scheme = AjtaiScheme(ring, kappa, n, seed=5)
+            rng = np.random.default_rng(11)
+            limbs = rng.integers(
+                0, 1 << 32, size=(ring.ncomp, n, ring.e, Nb, ring.nl), dtype=np.uint64
+            ).astype(np.uint32)
+            limbs[..., -1] >>= 6
+            fcm = jnp.asarray(limbs)
+            want = np.asarray(scheme.commit_batch_cm(fcm))
+            got = np.asarray(scheme.commit_batch_fused(fcm))
+            assert (want == got).all(), name
+    finally:
+        if on_cpu:
+            pc._K_SLICE = old_slice

@@ -107,3 +107,34 @@ def test_mont_mul_loop_matches_unrolled():
         loop = np.asarray(jax.jit(lambda x, y: mo._mont_mul_loop(m, x, y))(a, b))
         unrolled = np.asarray(mo.mont_mul(m, a, b))
         assert np.array_equal(loop, unrolled), name
+
+
+def test_mont_mul_loop_stark_vs_bigint():
+    """ADVICE r3: pin the nl=8 (stark) configuration — the one _mont_mul_loop
+    actually exists for — against a big-int reference. Runs eagerly
+    (jax.disable_jit) on a small batch: the unrolled nl=8 form is an XLA:CPU
+    compile bomb, and eager avoids compiling the loop too."""
+    import jax
+    import jax.numpy as jnp
+
+    from latticefold_tpu.rings.construct import get_ring
+
+    ring = get_ring("stark")
+    m = ring.fq
+    assert m.nl == 8
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 1 << 32, size=(9, m.nl), dtype=np.uint64)
+    vals_a = [int(sum(int(x) << (32 * i) for i, x in enumerate(r))) % m.q for r in raw]
+    raw_b = np.roll(raw, 3, axis=0)
+    vals_b = [int(sum(int(x) << (32 * i) for i, x in enumerate(r))) % m.q for r in raw_b]
+    vals_a += [0, 1, m.q - 1]
+    vals_b += [m.q - 1, m.q - 1, m.q - 1]
+    a = m.encode(np.array(vals_a, dtype=object))
+    b = m.encode(np.array(vals_b, dtype=object))
+    # m.encode multiplies by nothing: limbs of the canonical value; mont_mul
+    # then returns u*v*R^{-1} mod q
+    Rinv = pow(1 << (32 * m.nl), -1, m.q)
+    with jax.disable_jit():
+        got = m.decode(np.asarray(mo._mont_mul_loop(m, jnp.asarray(a), jnp.asarray(b))))
+    for g, u, v in zip(got, vals_a, vals_b):
+        assert int(g) == u * v * Rinv % m.q

@@ -119,6 +119,30 @@ def test_set_check_single():
     setchk.verify(ring, out, tv)
 
 
+def test_set_check_single_jitted():
+    """ADVICE r3: keep at least one LF+ test compiling its production jitted
+    kernels in the default CPU suite (the autouse fixture runs everything
+    else eagerly on CPU). The set check uses the scalar (base-field)
+    sumcheck, whose comb kernel is small enough for XLA:CPU; its proof must
+    be byte-identical to the eager run."""
+    import jax
+
+    ring = RING
+    n = 4
+    sets = [setchk.MatrixSet(idx=_idx_identity(n, ring.d))]
+    with jax.disable_jit():
+        out_eager = setchk.set_check(ring, 2, sets, [], PlusTranscript(ring))
+    # the autouse fixture already entered disable_jit on CPU; explicitly
+    # re-enable to force compilation of the production kernels
+    with jax.disable_jit(False):
+        out_jit = setchk.set_check(ring, 2, sets, [], PlusTranscript(ring))
+        setchk.verify(ring, out_jit, PlusTranscript(ring))
+    assert out_eager.sumcheck_proof.round_evals == out_jit.sumcheck_proof.round_evals
+    assert out_eager.r == out_jit.r
+    assert out_eager.e == out_jit.e
+    assert out_eager.b == out_jit.b
+
+
 def test_set_check_batched_and_vectors():
     ring = RING
     n = 4

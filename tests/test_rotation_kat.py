@@ -1,0 +1,46 @@
+"""rot_lin_combination KAT from the reference test suite.
+
+Vectors extracted verbatim from
+/root/reference/crates/cyclotomic-rings/src/rotation.rs:174-775
+(tests/data/rotation_kat_goldilocks.json): 3 coefficient-form rho elements,
+3 theta vectors of 3 Goldilocks NTT elements (8 x Fq3 each), and the expected
+folded v_0.
+
+Note on bases: RotSum is K-linear with prime-field scalar coefficients
+(rotation.rs:45-60 — acc_j += from_base_prime_field(coeff) * b_i), so the
+identity holds for the K-coordinate triples treated as opaque 3-vectors in
+ANY basis of Fq3. The KAT therefore pins our rot_lin_combination arithmetic
+and flatten/promote ordering bit-exactly against the Rust implementation,
+independently of the CRT component basis.
+"""
+
+import json
+import os
+
+from latticefold_tpu.nifs.folding import rot_lin_combination
+from latticefold_tpu.rings.construct import get_ring
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def test_rot_lin_combination_kat_goldilocks():
+    ring = get_ring("goldilocks")
+    with open(os.path.join(HERE, "data", "rotation_kat_goldilocks.json")) as fh:
+        kat = json.load(fh)
+
+    rho_s = [[int(v) for v in row] for row in kat["rho_coeffs"]]
+    # theta_ntt: [instance][element][component][coord] -> per-instance list of
+    # ring elements, each a tuple of ncomp K-elements (opaque coord tuples)
+    theta_s = [
+        [tuple(tuple(int(c) % ring.q for c in comp) for comp in elem) for elem in inst]
+        for inst in kat["theta_ntt"]
+    ]
+    expected = [
+        tuple(tuple(int(c) % ring.q for c in comp) for comp in elem)
+        for elem in kat["expected_ntt"]
+    ]
+
+    got = rot_lin_combination(ring, rho_s, theta_s)
+    assert len(got) == len(expected) == ring.tau
+    for g, e in zip(got, expected):
+        assert tuple(tuple(x) for x in g) == e

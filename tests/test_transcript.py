@@ -52,6 +52,24 @@ def test_goldilocks_challenge_decode_kat():
     assert coeffs == expected
 
 
+def test_babybear_challenge_decode_kat():
+    # babybear.rs:70-113: same 18 input bytes as the goldilocks KAT; the
+    # decode yields 24 6-bit signed coeffs and RqPoly::from zero-pads to d=72
+    bb = get_ring("babybear")
+    bq = bb.q
+    bs = bytes([0x7B, 0x4B, 0xE5, 0x8E, 0xE5, 0x11, 0xD2, 0xD0, 0x9C, 0x22,
+                0xBA, 0x2E, 0xEB, 0xA8, 0xBA, 0x35, 0xF2, 0x18])
+    coeffs = short_challenge_coeffs(bb, bs)
+    expected = [
+        27, 13, bq - 12, 25, bq - 18, bq - 10, bq - 2, bq - 28, bq - 14,
+        bq - 29, bq - 19, 7, 2, 8, 11, bq - 21, 11, 3, 10, 14, 21, bq - 24,
+        bq - 17, bq - 26,
+    ]
+    assert coeffs[:24] == expected
+    assert all(c == 0 for c in coeffs[24:])
+    assert len(coeffs) == bb.d
+
+
 def test_stark_frog_challenge_decode_kat():
     stark = get_ring("stark")
     bs = bytes([0x7B, 0x4B, 0xE5, 0x8E, 0xE5, 0x11, 0xD2, 0xD0, 0x9C, 0x22,
