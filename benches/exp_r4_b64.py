@@ -1,0 +1,115 @@
+"""Stage isolation for the fused commit at b64."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jax-tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from latticefold_tpu.commitment import AjtaiScheme
+from latticefold_tpu.rings import mxu, pallas_commit as pc
+from latticefold_tpu.rings.construct import get_ring
+
+
+def run(fn, args, iters, reps=5):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + fn(*args, acc).astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    np.asarray(loop(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    ring = get_ring("goldilocks")
+    kappa, n, Nb = 9, 1 << 15, 64
+    rng = np.random.default_rng(0)
+    scheme = AjtaiScheme(ring, kappa, n, seed=1)
+    pre = scheme._fused_planes
+    L = ring.e * Nb * ring.nl
+
+    ints = rng.integers(0, ring.q, size=(ring.ncomp, n, ring.e, Nb), dtype=np.uint64)
+    fcm = jnp.asarray(
+        np.stack([(ints & 0xFFFFFFFF).astype(np.uint32), (ints >> 32).astype(np.uint32)], axis=-1)
+    )
+    w2d = fcm.reshape(ring.ncomp, n, L)
+
+    s = jnp.zeros((8, 128), jnp.int32)
+    disp = run(lambda s, acc: s + acc, (s,), 16)
+    print(f"dispatch: {disp*1e3:.1f} ms")
+    iters = 64
+
+    # stage A: pallas slice only (kb variants)
+    for kb in (512, 1024, 2048):
+        def sl(lhs, w, acc, kb=kb):
+            ww = w ^ (acc & 1).astype(jnp.uint32)
+            return pc._fused_slice(ring, lhs, ww, kb)
+
+        try:
+            t = run(sl, (pre.lhs_i8, w2d), iters)
+            print(f"pallas slice kb{kb}: {(t-disp)/iters*1e3:.3f} ms")
+        except Exception as e:
+            print(f"pallas slice kb{kb}: FAILED {type(e).__name__} {str(e)[:120]}")
+
+    # stage B: full fused commit
+    def full(lhs, sm, w, acc):
+        ww = w ^ (acc & 1).astype(jnp.uint32)
+        return pc._commit_fused(ring, pre.rows, lhs, sm, ww.reshape(fcm.shape))
+
+    t = run(full, (pre.lhs_i8, pre.sM, w2d), iters)
+    print(f"full fused: {(t-disp)/iters*1e3:.3f} ms")
+
+    # stage C: epilogue only (corrections + reorder + group + carry + redc + extfold)
+    P0 = jnp.asarray(rng.integers(-(1 << 28), 1 << 28, size=(ring.ncomp, pre.lhs_i8.shape[1], 4 * L), dtype=np.int64).astype(np.int32))
+
+    def epi(P, sm, acc):
+        p = P ^ (acc & 1)
+        import latticefold_tpu.modops as mo
+        rows = pre.rows
+        c = ring.ncomp
+        e = ring.e
+        nl = ring.nl
+        da = 4 * nl
+        sw = p[:, rows, :]
+        pu = (p + 128 * sw[:, None, :] + 128 * sm[:, 0, :, None] + jnp.int32(128 * 128 * n)).astype(jnp.uint32)
+        lo, hi = pu & jnp.uint32(0xFFFF), pu >> 16
+
+        def reorder(x):
+            x = x[:, :rows].reshape(c, rows // da, da, 4, e * Nb, nl)
+            x = jnp.transpose(x, (0, 1, 2, 4, 5, 3))
+            return x.reshape(c, rows // da, da, e * Nb, nl * 4)
+
+        u = mxu._group_positions(reorder(lo), reorder(hi), da, da)
+        t_limbs = mxu._carry_pack(u, 2 * nl + 1)
+        P2 = mxu._redc_wide(ring.fq, t_limbs)
+        return mxu._ext_fold(ring, P2, rows // (da * e), Nb)
+
+    t = run(epi, (P0, pre.sM), iters)
+    print(f"epilogue only: {(t-disp)/iters*1e3:.3f} ms")
+
+    # xor-copy reference
+    t = run(lambda w, acc: w ^ (acc & 1).astype(jnp.uint32), (w2d,), iters)
+    print(f"xor-copy: {(t-disp)/iters*1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

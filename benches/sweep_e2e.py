@@ -1,0 +1,128 @@
+"""Witness-length sweep of the full NIFS fold on TPU (BASELINE.md headline).
+
+Runs nifs.prove + nifs.verify at increasing wit_len over Goldilocks
+(GoldilocksDP B=2^15, L=5, b=2, K=15 — decomposition_parameters.rs:89-95),
+mirroring the reference e2e bench protocol
+(/root/reference/crates/latticefold/benches/e2e.rs:14-35, grid
+benches/config.toml). CCS rows m = next_pow2(wit_len * L): wit_len 2^17
+gives the 2^20-constraint fold of BASELINE.json.
+
+Emits one JSON line per size with prove/verify wall times and peak device
+memory; aggregate written to BENCH_GRID path given by $SWEEP_OUT.
+
+  SWEEP_WIT_LENS=4096,16384,65536   (default 2^12..2^16)
+  SWEEP_REPS=2
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main():
+    import jax
+
+    tag = "cpu" if jax.default_backend() == "cpu" else "tpu"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".cache", f"jax-{tag}"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import numpy as np
+
+    import latticefold_tpu.nifs as nifs
+    import latticefold_tpu.nifs.linearization as linearization
+    import latticefold_tpu.rings.ops as rops
+    from latticefold_tpu.arith.ccs import CCS, CCCS, get_test_dummy_r1cs
+    from latticefold_tpu.arith.witness import Witness
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.params import DP_GOLDILOCKS
+    from latticefold_tpu.rings.construct import get_ring
+    from latticefold_tpu.transcript import Transcript
+
+    ring = get_ring("goldilocks")
+    dp = DP_GOLDILOCKS
+    kappa = int(os.environ.get("SWEEP_KAPPA", 9))
+    wit_lens = [
+        int(x) for x in os.environ.get(
+            "SWEEP_WIT_LENS", "4096,8192,16384,32768,65536"
+        ).split(",")
+    ]
+    reps = int(os.environ.get("SWEEP_REPS", 2))
+    x_len = 1
+
+    dev = jax.local_devices()[0]
+
+    def peak_mb():
+        try:
+            st = dev.memory_stats()
+            return round(st.get("peak_bytes_in_use", 0) / 1e6)
+        except Exception:
+            return None
+
+    results = []
+    for wit_len in wit_lens:
+        t_setup0 = time.perf_counter()
+        r1cs = get_test_dummy_r1cs(ring, x_len, wit_len, x_len + wit_len + 1)
+        ccs = CCS.from_r1cs_padded(ring, r1cs, W=x_len + wit_len + 1, L=dp.L)
+        w_host = [ring.one()] * wit_len
+        x_ccs = [ring.one()] * x_len
+        scheme = AjtaiScheme(ring, kappa, wit_len * dp.L, seed=7)
+        wit = Witness.from_w_ccs(ring, dp, rops.to_device(ring, w_host), n_pad=ccs.m)
+        cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+        acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
+        setup_s = time.perf_counter() - t_setup0
+
+        # warm (compile) + timed reps
+        times_p, times_v = [], []
+        proof = None
+        for i in range(reps + 1):
+            t0 = time.perf_counter()
+            folded, w0, proof = nifs.prove(
+                acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp
+            )
+            jax.block_until_ready(w0.f)
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times_p.append(dt)
+            else:
+                compile_s = dt
+            t0 = time.perf_counter()
+            nifs.verify(acc, cm_i, proof, Transcript(ring), ccs, dp)
+            if i > 0:
+                times_v.append(time.perf_counter() - t0)
+
+        row = {
+            "bench": "nifs_e2e_fold",
+            "ring": "goldilocks",
+            "wit_len": wit_len,
+            "m": ccs.m,
+            "K": dp.K,
+            "kappa": kappa,
+            "prove_s": round(min(times_p), 3),
+            "prove_s_all": [round(t, 3) for t in times_p],
+            "first_run_incl_compile_s": round(compile_s, 1),
+            "verify_s": round(min(times_v), 3),
+            "setup_s": round(setup_s, 1),
+            "peak_device_mb": peak_mb(),
+            "backend": jax.default_backend(),
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+        # free per-size buffers before the next, bigger size
+        del wit, cm_i, acc, proof, scheme, ccs, r1cs
+
+    out = os.environ.get("SWEEP_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
+            fh.write("\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,27 @@ def _sample_field(rng: np.random.Generator, q: int, nl: int, shape) -> np.ndarra
     return out.reshape(shape)
 
 
+def _sample_field_u64(rng: np.random.Generator, q: int, shape) -> np.ndarray:
+    """_sample_field for q < 2^64, bit-identical stream, pure u64 numpy."""
+    total = int(np.prod(shape))
+    bits = q.bit_length()
+    words = (bits + 31) // 32
+    mask = np.uint64((1 << bits) - 1)
+    out = np.empty(total, dtype=np.uint64)
+    filled = 0
+    while filled < total:
+        need = total - filled
+        raw = rng.integers(0, 1 << 32, size=(need + 7, words), dtype=np.uint64)
+        vals = np.zeros(raw.shape[0], dtype=np.uint64)
+        for i in range(words):
+            vals |= raw[:, i] << np.uint64(32 * i)
+        vals &= mask
+        acc = vals[vals < q][:need]
+        out[filled : filled + len(acc)] = acc
+        filled += len(acc)
+    return out.reshape(shape)
+
+
 class AjtaiScheme:
     """kappa x n matrix of uniform NTT-form ring elements, seed-deterministic."""
 
@@ -49,10 +70,25 @@ class AjtaiScheme:
         self.kappa = kappa
         self.n = n
         rng = np.random.default_rng(np.random.PCG64(seed))
-        R = 1 << (32 * ring.nl)
-        vals = _sample_field(rng, ring.q, ring.nl, (kappa, n, ring.ncomp, ring.e))
-        mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(vals)
-        self.matrix = jnp.asarray(ring.fq.encode(mont))  # [kappa, n, ncomp, e, nl]
+        shape = (kappa, n, ring.ncomp, ring.e)
+        if ring.nl <= 2:
+            # fast path for <= 64-bit moduli: identical rejection stream to
+            # _sample_field (same rng draws, same acceptance), assembled in
+            # u64 and Montgomery-encoded ON DEVICE (mo.to_mont) — the
+            # object-int vectorize below takes minutes at bench shapes and
+            # ~half an hour at n = 2^17 * L
+            vals = _sample_field_u64(rng, ring.q, shape)
+            limbs = np.stack(
+                [(vals & 0xFFFFFFFF).astype(np.uint32)]
+                + ([(vals >> np.uint64(32)).astype(np.uint32)] if ring.nl == 2 else []),
+                axis=-1,
+            )
+            self.matrix = mo.to_mont(ring.fq, jnp.asarray(limbs))
+        else:
+            R = 1 << (32 * ring.nl)
+            vals = _sample_field(rng, ring.q, ring.nl, shape)
+            mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(vals)
+            self.matrix = jnp.asarray(ring.fq.encode(mont))  # [kappa, n, c, e, nl]
 
     @classmethod
     def identity_like(cls, ring: Ring, kappa: int, n: int):

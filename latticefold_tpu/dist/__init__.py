@@ -25,3 +25,8 @@ from .multihost import (  # noqa: F401
     sharded_fold_2d,
     sharded_sumcheck_round_2d,
 )
+from .protocol import (  # noqa: F401
+    prove_sharded,
+    shard_scheme,
+    shard_witness,
+)

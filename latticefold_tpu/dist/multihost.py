@@ -79,12 +79,23 @@ def make_hybrid_mesh(ici_axis: str = "ici", dcn_axis: str = "dcn") -> Mesh:
     n_proc = jax.process_count()
     n_local = jax.local_device_count()
     if n_proc > 1:
-        from jax.experimental import mesh_utils
+        devs = jax.devices()
+        if len({getattr(d, "slice_index", 0) for d in devs}) == n_proc:
+            # real TPU pod: slice structure present, use the ICI-aware builder
+            from jax.experimental import mesh_utils
 
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, n_local),
-            dcn_mesh_shape=(n_proc, 1),
-        )
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, n_local),
+                dcn_mesh_shape=(n_proc, 1),
+            )
+        else:
+            # multi-process CPU simulation (tests): no slice indices — group
+            # rows by owning process, which is the DCN structure by definition
+            rows = [
+                [d for d in devs if d.process_index == p] for p in range(n_proc)
+            ]
+            assert all(len(r) == n_local for r in rows)
+            devices = np.array(rows)
     else:
         devices = np.array(jax.devices()).reshape(n_proc, n_local)
     return Mesh(devices, (dcn_axis, ici_axis))

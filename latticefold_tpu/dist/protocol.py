@@ -1,0 +1,78 @@
+"""Protocol-level multi-chip execution of the REAL NIFS prover.
+
+The scaling-model recipe (SURVEY.md §2.5/§5.8 TPU translation): pick a mesh,
+annotate the big arrays with shardings, and let XLA's SPMD partitioner insert
+the collectives through every jitted protocol kernel. All hot tensors in the
+prover carry either the hypercube axis (m: MLE tables, eq tables) or the
+witness axis (n*L: f, f_hat rows, Ajtai columns) — both are sharded along the
+mesh's ``x`` axis here. Every kernel in the pipeline is exact u32 modular
+arithmetic, and GSPMD partitions without reassociating user ops, so the
+sharded run is BIT-IDENTICAL to the single-device run: the test tier asserts
+serialized-proof byte equality (tests/test_dist.py) and the driver dry-run
+executes it on an N-virtual-device mesh (__graft_entry__.dryrun_multichip).
+
+Reference mapping: the rayon data-parallel loops of
+/root/reference/crates/latticefold/src/nifs/{decomposition.rs:162-235,
+folding.rs:199-268} and utils/sumcheck/prover.rs:111-156 are the loops whose
+TPU translation this layer distributes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..arith.witness import Witness
+
+
+def _shard(mesh: Mesh, arr, axis: int):
+    """Place ``arr`` sharded along ``axis`` of the mesh's x dimension; falls
+    back to replication if the axis doesn't divide evenly."""
+    if arr is None:
+        return None
+    n_dev = mesh.devices.size
+    if arr.shape[axis] % n_dev:
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+    spec = [None] * arr.ndim
+    spec[axis] = "x"
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+
+def shard_witness(mesh: Mesh, wit: Witness) -> Witness:
+    """Witness with its big arrays sharded: f/f_coeff on the n*L axis,
+    f_hat rows on the hypercube axis, w_ccs on the witness axis."""
+    return dataclasses.replace(
+        wit,
+        f=_shard(mesh, wit.f, 0),
+        f_coeff=_shard(mesh, wit.f_coeff, 0),
+        f_hat=_shard(mesh, wit.f_hat, 1),
+        w_ccs=_shard(mesh, wit.w_ccs, 0),
+    )
+
+
+def shard_scheme(mesh: Mesh, scheme):
+    """Shard the Ajtai matrix over its column (witness) axis, in place.
+
+    The commit contraction then runs column-blocked per device with XLA
+    combining the partial sums (matches dist/mesh.py:sharded_commit's manual
+    shard_map formulation, but through the production commit kernels)."""
+    scheme.matrix = _shard(mesh, scheme.matrix, 1)
+    # drop cached precomputes so they re-derive from the sharded matrix
+    scheme.__dict__.pop("_mxu_planes", None)
+    scheme.__dict__.pop("_fused_planes", None)
+    return scheme
+
+
+def prove_sharded(mesh: Mesh, acc, w_acc, cm_i, w_i, transcript, ccs, scheme, dp):
+    """nifs.prove with all heavy inputs sharded over ``mesh``.
+
+    Same signature/semantics as latticefold_tpu.nifs.prove; the proof is
+    byte-identical to the single-device run.
+    """
+    from .. import nifs
+
+    w_acc = shard_witness(mesh, w_acc)
+    w_i = shard_witness(mesh, w_i)
+    return nifs.prove(acc, w_acc, cm_i, w_i, transcript, ccs, scheme, dp)

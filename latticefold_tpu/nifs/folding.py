@@ -15,6 +15,7 @@ f-hat claim folded through RotSum (cyclotomic-rings/src/rotation.rs:45-104).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import List
 
@@ -130,6 +131,52 @@ def prepare_folding_mles_streaming(
         mz_h = _ext_mul_j(ring, cur, zetas_dev)
     both = _ring_add_j(ring, fh_h, mz_h)
     return _folding_combine(ring, Khalf, both, f_hat_all, eq1, eq2, beta_eq)
+
+
+def prepare_folding_parts_grouped(
+    ring: Ring, Khalf: int, f_hat_all, z_all, ccs, eq1, eq2, beta_eq,
+    alphas, zetas, group: int = 4,
+):
+    """Big-m variant of prepare_folding_mles_streaming: builds ONLY the 5
+    fully-expanded rows ([5, m, ...]) and leaves the f-hat rows in their
+    subfield-compact form for sumcheck.prove_host_bigm. The per-instance
+    alpha/zeta Horner tables are produced ``group`` instances at a time and
+    summed straight into the two combined accumulators, so peak HBM holds
+    O(group * m) ring elements instead of O(2K * m) (~5.8 GB at 2^20).
+    Mod-q adds commute exactly -> identical values to the ungrouped path.
+
+    Returns (full5 [5, m, c, e, nl], fhat_sub [2K*tau, m, c, nl]).
+    """
+    twoK = f_hat_all.shape[0]
+    combined = [None, None]
+    for g0 in range(0, twoK, group):
+        g1 = min(twoK, g0 + group)
+        fh_h = _fhat_horner(ring, f_hat_all[g0:g1], alphas[g0:g1])
+        mz_h = None
+        zg = z_all[g0:g1]
+        zetas_dev = zetas[g0:g1, None, None]
+        for j in range(len(ccs.M) - 1, -1, -1):
+            y_j = ccs.M[j].mat_vec_batched(zg)
+            cur = y_j if mz_h is None else _ring_add_j(ring, mz_h, y_j)
+            mz_h = _ext_mul_j(ring, cur, zetas_dev)
+        both = _ring_add_j(ring, fh_h, mz_h)  # [G, m, ...]
+        split = min(max(Khalf - g0, 0), g1 - g0)
+        for half, lo, hi in ((0, 0, split), (1, split, g1 - g0)):
+            if hi <= lo:
+                continue
+            part = _ring_sum_j(ring, both[lo:hi])
+            combined[half] = (
+                part if combined[half] is None
+                else _ring_add_j(ring, combined[half], part)
+            )
+    full5 = jnp.stack([eq1, combined[0], eq2, combined[1], beta_eq])
+    fhat_sub = f_hat_all.reshape((-1,) + f_hat_all.shape[2:])
+    return full5, fhat_sub
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _ring_sum_j(ring: Ring, a):
+    return rops.ring_sum(ring, a, 0)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -367,13 +414,30 @@ def prove(
     zetas = mlemod.point_to_device(ring, zeta_s)
     mus = mlemod.point_to_device(ring, mu_s)
 
-    mles = prepare_folding_mles_streaming(
-        ring, dp.K, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas
-    )
-
     comb = _folding_comb(ring, 2 * dp.K, ring.tau, dp.b)
     degree = 2 * dp.b
-    proof_sc, r_0, final_vals = sc.prove(ring, transcript, mles, log_m, degree, comb, mus)
+
+    # Big-m path (SURVEY.md §7.3 hard part 7 / ARCHITECTURE.md §9): above
+    # this size the expanded 2K*tau f-hat rows would not fit HBM; keep them
+    # subfield-compact through the first rounds (proof bytes identical,
+    # differentially tested in tests/test_sumcheck.py).
+    bigm_logm = int(os.environ.get("LF_TPU_BIGM_LOGM", "18"))
+    if log_m >= bigm_logm:
+        expand_nvars = int(os.environ.get("LF_TPU_BIGM_EXPAND", "16"))
+        full5, fhat_sub = prepare_folding_parts_grouped(
+            ring, dp.K, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas
+        )
+        proof_sc, r_0, final_vals = sc.prove_host_bigm(
+            ring, transcript, full5, fhat_sub, log_m, degree, comb, mus,
+            expand_nvars=expand_nvars,
+        )
+    else:
+        mles = prepare_folding_mles_streaming(
+            ring, dp.K, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas
+        )
+        proof_sc, r_0, final_vals = sc.prove(
+            ring, transcript, mles, log_m, degree, comb, mus
+        )
 
     # thetas come free from the final folded tables (f_hat rows are mles[5:])
     fhat_finals = rops.to_host(ring, final_vals[5:])

@@ -52,7 +52,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 class FusedPlanes(NamedTuple):
-    lhs_i8: jnp.ndarray  # [c, Mpad, n] i8 signed matrix planes
+    lhs_i8: jnp.ndarray  # [c, Mpad, n] i8 signed matrix planes (+ ones row)
     sM: jnp.ndarray  # [c, n_slices, Mpad] i32 per-slice signed row sums
     rows: int  # true (unpadded) row count = kappa * e * 4nl
 
@@ -63,16 +63,20 @@ def precompute(ring: Ring, matrix) -> FusedPlanes:
     Row r = (kappa*e index) * 4nl + (limb*4 + byte), identical to
     mxu.ajtai_precompute's plane-dot row order; rows are zero-padded to a
     multiple of 32 (i8 sublane tile) and the padding is dropped after the
-    kernel (its correction terms are garbage by construction).
+    kernel (its correction terms are garbage by construction) — EXCEPT padding
+    row ``rows`` which is set to all-ones so the MXU dot emits the witness
+    column sums colsum(W_i8) for free (P[ones_row, col] = sum_n W_i8[n, col]);
+    an in-kernel VPU reduce for the same sums measured ~2x the whole kernel
+    at large batches.
     """
     planes = mxu.ajtai_precompute(ring, matrix)  # [c, kappa*e, n, 4nl] u8
     c, ke, n, da = planes.shape
     rows = ke * da
     lhs = jnp.moveaxis(planes, -1, -2).reshape(c, rows, n)
     lhs = (lhs ^ jnp.uint8(0x80)).astype(jnp.int8)
-    mpad = _round_up(rows, 32)
-    if mpad != rows:
-        lhs = jnp.pad(lhs, ((0, 0), (0, mpad - rows), (0, 0)))
+    mpad = _round_up(rows + 1, 32)  # always >= 1 spare row for the ones row
+    lhs = jnp.pad(lhs, ((0, 0), (0, mpad - rows), (0, 0)))
+    lhs = lhs.at[:, rows, :].set(jnp.int8(1))
     n_slices = -(-n // _K_SLICE)
     sums = [
         jnp.sum(
@@ -85,13 +89,12 @@ def precompute(ring: Ring, matrix) -> FusedPlanes:
     return FusedPlanes(jax.device_put(lhs), jax.device_put(sM), rows)
 
 
-def _dot_kernel(a_ref, w_ref, p_ref, sw_ref):
+def _dot_kernel(a_ref, w_ref, p_ref):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         p_ref[:] = jnp.zeros_like(p_ref)
-        sw_ref[:] = jnp.zeros_like(sw_ref)
 
     # signed byte planes, byte-major column order: col = byte*L + word.
     # XOR 0x80 on every byte == subtract 128 in two's complement, so the
@@ -103,11 +106,10 @@ def _dot_kernel(a_ref, w_ref, p_ref, sw_ref):
         ((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int8) for b in range(4)
     ]
     pi = jnp.concatenate(parts, axis=-1)  # [KB, 4L]
-    a = a_ref[0]  # [Mpad, KB] i8
+    a = a_ref[0]  # [Mpad, KB] i8 (row ``rows`` = ones -> colsum output row)
     p_ref[0] += jax.lax.dot_general(
         a, pi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    sw_ref[0] += jnp.sum(pi.astype(jnp.int32), axis=0, keepdims=True)
 
 
 def _pick_kb(ks: int, L: int, mpad: int) -> int:
@@ -126,10 +128,11 @@ def _pick_kb(ks: int, L: int, mpad: int) -> int:
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _fused_slice(ring: Ring, lhs_slice, w_slice, kb: int):
     """One <= 2^15 contraction slice: lhs [c, Mpad, Ks] i8, witness
-    [c, Ks, L] u32 -> (P [c, Mpad, 4L] i32 signed dot, sW [c, 4L] i32)."""
+    [c, Ks, L] u32 -> P [c, Mpad, 4L] i32 signed dot (row ``rows`` of P is
+    the witness column-sum row from the all-ones lhs row)."""
     c, mpad, ks = lhs_slice.shape
     L = w_slice.shape[-1]
-    p, sw = pl.pallas_call(
+    p = pl.pallas_call(
         _dot_kernel,
         grid=(c, ks // kb),
         in_specs=[
@@ -138,19 +141,12 @@ def _fused_slice(ring: Ring, lhs_slice, w_slice, kb: int):
             pl.BlockSpec((1, kb, L), lambda ci, ki: (ci, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, mpad, 4 * L), lambda ci, ki: (ci, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4 * L), lambda ci, ki: (ci, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((c, mpad, 4 * L), jnp.int32),
-            jax.ShapeDtypeStruct((c, 1, 4 * L), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((1, mpad, 4 * L), lambda ci, ki: (ci, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, mpad, 4 * L), jnp.int32),
         interpret=jax.default_backend() == "cpu",
     )(lhs_slice, w_slice)
-    return p, sw[:, 0]
+    return p
 
 
 def ajtai_commit_fused(ring: Ring, pre: FusedPlanes, fcm):
@@ -177,26 +173,59 @@ def _commit_fused(ring: Ring, rows: int, lhs_i8, sM, fcm):
         lo_k, hi_k = si * _K_SLICE, min(n, (si + 1) * _K_SLICE)
         ks = hi_k - lo_k
         kb = _pick_kb(ks, L, mpad)
-        p, sw = _fused_slice(ring, lhs_i8[:, :, lo_k:hi_k], w2d[:, lo_k:hi_k], kb)
-        # unsigned-plane corrections for this slice (exact, < 2^31)
+        p = _fused_slice(ring, lhs_i8[:, :, lo_k:hi_k], w2d[:, lo_k:hi_k], kb)
+        sw = p[:, rows, :]  # ones-row output = colsum(W_i8), exact
+        # unsigned-plane corrections for this slice (exact, < 2^31);
+        # padded lhs rows are dropped here — their corrections are garbage
         pu = (
-            p
+            p[:, :rows]
             + 128 * sw[:, None, :]
-            + 128 * sM[:, si, :, None]
+            + 128 * sM[:, si, :rows, None]
             + jnp.int32(128 * 128 * ks)
         ).astype(jnp.uint32)
         plo, phi = pu & jnp.uint32(0xFFFF), pu >> 16
         acc_lo = plo if acc_lo is None else acc_lo + plo
         acc_hi = phi if acc_hi is None else acc_hi + phi
 
-    def reorder(x):
-        # rows: r = ke_i*DA + (limb*4 + byte)  (drop the i8-tile padding)
-        # cols: col = byte*L + (o*nl + limb) -> j = limb*4 + byte
-        x = x[:, :rows].reshape(c, rows // da, da, 4, e * Nb, nl)
-        x = jnp.transpose(x, (0, 1, 2, 4, 5, 3))
-        return x.reshape(c, rows // da, da, e * Nb, nl * 4)
+    # Group plane products by byte position s = i + j without a full
+    # relayout (a 6D transpose here measured ~1.4 ms at b64; per-(i,j)
+    # minor-dim slicing measured worse — both are gather-grade on TPU).
+    # Column order from the kernel is byte-major: col = b'*L + (o*nl + l'),
+    # significance j = l'*4 + b'. Extract the 4*nl (b', l') column planes
+    # once (one mid-axis slice + one minor slice each — 4nl medium copies),
+    # then the 64 position adds slice only the cheap row-side DA axis.
+    #   rows r = ke_i*DA + i with i = limb*4 + byte (matrix planes)
+    def view6(x):
+        return x.reshape(c, rows // da, da, 4, e * Nb, nl)
 
-    u = mxu._group_positions(reorder(acc_lo), reorder(acc_hi), da, da)
+    lo6, hi6 = view6(acc_lo), view6(acc_hi)
+    cols_lo = {}
+    cols_hi = {}
+    for bp in range(4):
+        xb_lo = lo6[:, :, :, bp]  # [c, ke, da, eNb, nl]
+        xb_hi = hi6[:, :, :, bp]
+        for lp in range(nl):
+            j = lp * 4 + bp
+            cols_lo[j] = xb_lo[..., lp]  # [c, ke, da, eNb]
+            cols_hi[j] = xb_hi[..., lp]
+    S = 2 * da - 1
+    conv_lo = [None] * S
+    conv_hi = [None] * S
+    for j in range(da):
+        yl, yh = cols_lo[j], cols_hi[j]
+        for i in range(da):
+            s = i + j
+            l = yl[:, :, i]
+            h = yh[:, :, i]
+            conv_lo[s] = l if conv_lo[s] is None else conv_lo[s] + l
+            conv_hi[s] = h if conv_hi[s] is None else conv_hi[s] + h
+    zero = jnp.zeros_like(conv_lo[0])
+    u = []
+    for s in range(S + 2):
+        v = conv_lo[s] if s < S else zero
+        if 2 <= s < S + 2 and conv_hi[s - 2] is not None:
+            v = v + conv_hi[s - 2]
+        u.append(v)
     t_limbs = mxu._carry_pack(u, 2 * nl + 1)
     P = mxu._redc_wide(ring.fq, t_limbs)  # [c, kappa*e, e*Nb, nl] mont
     kappa = rows // (da * e)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import modops as mo
 from .poly import mle as mlemod
 from .rings import ops as rops
 from .rings.construct import Ring
@@ -301,10 +302,21 @@ def prove(
     seconds and CPU has no dispatch-latency problem to amortize anyway.
     Tests that target the device-transcript machinery itself call
     ``prove_device`` directly.
+
+    LF_TPU_SUMCHECK=host forces the per-round path on any backend: the
+    whole-sumcheck program at large m is a single giant XLA compile that the
+    tunneled remote-compile helper handles poorly (observed >30 min at
+    m=2^15, round 4); per-round kernels compile in seconds each and the
+    ~3 host syncs/round (~75 ms) are noise at those table sizes.
     """
+    import os as _os
+
     import jax as _jax
 
-    if _jax.default_backend() == "cpu":
+    if (
+        _jax.default_backend() == "cpu"
+        or _os.environ.get("LF_TPU_SUMCHECK", "") == "host"
+    ):
         return prove_host(ring, transcript, mles, nvars, degree, comb, comb_consts)
     return prove_device(ring, transcript, mles, nvars, degree, comb, comb_consts)
 
@@ -370,6 +382,183 @@ def prove_host(
             evs_dev = kernel_pad(cur, comb_consts, mask)
         else:
             evs_dev = kernel(cur, comb_consts)  # [degree+1, ncomp, e, nl]
+        evs_host = list(rops.to_host(ring, evs_dev))
+        transcript.absorb_slice(evs_host)
+        round_evals.append(evs_host)
+        c = transcript.get_challenge()
+        transcript.absorb_field_element(c)
+        challenges.append(c)
+        c_dev = rops.k_to_device(ring, c)
+        if padded:
+            cur = _fold_padded(ring, cur, c_dev, mask)
+        else:
+            cur = mlemod.fold(ring, cur, c_dev)
+    final_vals = cur[:, 0] if padded else jnp.squeeze(cur, axis=1)
+    return SumcheckProof(round_evals), challenges, final_vals
+
+
+# ---------------------------------------------------------------------------
+# big-m prover: compact f-hat tables through the first rounds
+# ---------------------------------------------------------------------------
+#
+# At 2^20 constraints the folding sumcheck's 2K*tau f-hat rows expanded to
+# full K-valued form are ~19 GB — past HBM. The rows start SUBFIELD-compact
+# ([m, ncomp, nl]: K-coordinate 0 only, arith/witness.py:make_fhat), and only
+# become K-valued when folded with the round challenges. This prover never
+# materializes the expanded tables for the first J rounds: it keeps the
+# original compact rows plus the fold-weight tensor
+#
+#   W_j[y] = prod_{i<j} ((1 - c_i) if bit_i(y) == 0 else c_i),  y in [2^j]
+#
+# so the round-j folded value is  fold_j[x] = sum_y W_j[y] * orig[x*2^j + y]
+# (exact mod q — additions commute), evaluated chunk-by-chunk inside the
+# round-message kernel. After J rounds the tables have shrunk 2^J-fold and
+# are materialized in full form; the remaining rounds run the standard path.
+# Proof bytes are identical to the standard prover (differentially tested).
+
+
+def _w_tensor_dev(ring: Ring, chals) -> jnp.ndarray:
+    """Host challenges c_0..c_{j-1} -> device weight tensor [2^j, e, nl]
+    (Montgomery). W[y] = prod_i w_i(bit_i(y)); W[()] = 1."""
+    K = ring.K
+    ws = [K.one()]
+    for c in chals:
+        wc0 = K.sub(K.one(), c)
+        ws = [K.mul(w, wc0) for w in ws] + [K.mul(w, c) for w in ws]
+    return jnp.stack([rops.k_to_device(ring, w) for w in ws])
+
+
+@functools.lru_cache(maxsize=None)
+def _bigm_round_fn(comb: CombFn, degree: int, j: int, n_chunks: int):
+    """Round-message kernel for W-tensor round ``j``: full5 tables at their
+    natural folded size, f-hat rows folded on the fly from the compact
+    originals; chunked lax.scan keeps the expanded transient at one chunk."""
+    ring = comb.ring
+    m = ring.fq
+
+    @jax.jit
+    def kernel(cur5, fhat_sub, W, consts):
+        # cur5: [n5, S, c, e, nl]; fhat_sub: [nf, S*2^j, c, nl]; W: [2^j, e, nl]
+        n5, S = cur5.shape[0], cur5.shape[1]
+        nf = fhat_sub.shape[0]
+        ncomp, nl = fhat_sub.shape[-2], fhat_sub.shape[-1]
+        cp = (S // 2) // n_chunks  # chunk pairs
+        f5 = cur5.reshape((n5, n_chunks, cp * 2) + cur5.shape[2:])
+        f5 = jnp.moveaxis(f5, 1, 0)  # [n_chunks, n5, cp*2, ...]
+        fh = fhat_sub.reshape(nf, n_chunks, cp * 2, 1 << j, ncomp, nl)
+        fh = jnp.moveaxis(fh, 1, 0)  # [n_chunks, nf, cp*2, 2^j, c, nl]
+
+        def body(acc, inp):
+            c5, cf = inp
+            folded = None  # [nf, cp*2, c, e, nl]
+            for y in range(1 << j):
+                term = mo.mont_mul(m, cf[:, :, y, :, None, :], W[y])
+                folded = term if folded is None else mo.add(m, folded, term)
+            a = jnp.concatenate([c5, folded], axis=0)  # [n5+nf, cp*2, ...]
+            a0, a1 = a[:, 0::2], a[:, 1::2]
+            evs = [
+                rops.ring_sum(ring, comb.fn(a0, consts), 0),
+                rops.ring_sum(ring, comb.fn(a1, consts), 0),
+            ]
+            if degree >= 2:
+                step = rops.ring_sub(ring, a1, a0)
+                cur = a1
+                for _ in range(2, degree + 1):
+                    cur = rops.ring_add(ring, cur, step)
+                    evs.append(rops.ring_sum(ring, comb.fn(cur, consts), 0))
+            evs = jnp.stack(evs)
+            acc = evs if acc is None else rops.ring_add(ring, acc, evs)
+            return acc, None
+
+        acc = None
+        if n_chunks == 1:
+            acc, _ = body(None, (f5[0], fh[0]))
+        else:
+            acc, _ = body(None, (f5[0], fh[0]))
+            acc, _ = jax.lax.scan(body, acc, (f5[1:], fh[1:]))
+        return acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _bigm_expand(ring: Ring, fhat_sub, j: int, W):
+    """Materialize the round-J folded f-hat tables in full K form:
+    out[x] = sum_y W[y] * orig[x*2^J + y];  [nf, S, c, e, nl]."""
+    m = ring.fq
+    nf, tot = fhat_sub.shape[0], fhat_sub.shape[1]
+    sub = fhat_sub.reshape((nf, tot >> j, 1 << j) + fhat_sub.shape[2:])
+    out = None
+    for y in range(1 << j):
+        term = mo.mont_mul(m, sub[:, :, y, :, None, :], W[y])
+        out = term if out is None else mo.add(m, out, term)
+    return out
+
+
+def prove_host_bigm(
+    ring: Ring,
+    transcript: Transcript,
+    full5,
+    fhat_sub,
+    nvars: int,
+    degree: int,
+    comb: CombFn,
+    comb_consts=(),
+    expand_nvars: int = 17,
+    chunk_pairs: int = 1 << 13,
+):
+    """Host-transcript sumcheck prover with compact f-hat rows kept unexpanded
+    through the first ``nvars - expand_nvars`` rounds (see module note).
+
+    ``full5``: [n5, 2^nvars, c, e, nl] fully-expanded rows (eq/combined);
+    ``fhat_sub``: [nf, 2^nvars, c, nl] subfield-compact rows. The comb sees
+    the stacked order [full5..., fhat...], identical to the standard path.
+    Returns (SumcheckProof, challenges, final_vals [n5+nf, ...]).
+    """
+    assert full5.shape[1] == 1 << nvars and fhat_sub.shape[1] == 1 << nvars
+    transcript.absorb(ring.embed_int(nvars))
+    transcript.absorb(ring.embed_int(degree))
+    J = max(0, nvars - expand_nvars)
+    challenges: list = []
+    round_evals: list = []
+    cur5 = full5
+
+    for rnd in range(J):
+        S = 1 << (nvars - rnd)
+        n_chunks = max(1, (S // 2) // chunk_pairs)
+        W = _w_tensor_dev(ring, challenges)
+        kernel = _bigm_round_fn(comb, degree, rnd, n_chunks)
+        evs_dev = kernel(cur5, fhat_sub, W, comb_consts)
+        evs_host = list(rops.to_host(ring, evs_dev))
+        transcript.absorb_slice(evs_host)
+        round_evals.append(evs_host)
+        c = transcript.get_challenge()
+        transcript.absorb_field_element(c)
+        challenges.append(c)
+        cur5 = mlemod.fold(ring, cur5, rops.k_to_device(ring, c))
+
+    fh_full = _bigm_expand(ring, fhat_sub, J, _w_tensor_dev(ring, challenges))
+    mles = jnp.concatenate([cur5, fh_full], axis=0)
+
+    # standard per-round tail (same kernels as prove_host)
+    kernel = _round_kernel(comb, degree)
+    kernel_pad = _round_msg_padded(comb, degree)
+    pad_size = min(_PAD_THRESHOLD, 1 << (nvars - J))
+    cur = mles
+    padded = False
+    for rnd in range(J, nvars):
+        size = 1 << (nvars - rnd)
+        if not padded and size <= pad_size:
+            if cur.shape[1] < pad_size:
+                cur = mlemod.pad_to(ring, cur, pad_size)
+            padded = True
+        if padded:
+            mask = np.zeros((pad_size // 2, 1, 1, 1), dtype=bool)
+            mask[: size // 2] = True
+            mask = jnp.asarray(mask)
+            evs_dev = kernel_pad(cur, comb_consts, mask)
+        else:
+            evs_dev = kernel(cur, comb_consts)
         evs_host = list(rops.to_host(ring, evs_dev))
         transcript.absorb_slice(evs_host)
         round_evals.append(evs_host)

@@ -6,7 +6,15 @@ import sys
 # environment presets JAX_PLATFORMS=axon (tunneled TPU plugin), and running
 # the test suite over the tunnel serializes every dispatch behind a TCP round
 # trip (30-60 min suite runs) and contends with benchmark jobs for the chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
+#
+# Escape hatch: LF_TPU_TEST_BACKEND=tpu runs the suite on the real (tunneled)
+# TPU backend — used for the round-evidence leg that exercises the
+# slow-marked fused/device-transcript differentials on actual TPU silicon
+# (VERDICT r3 item 6): e.g.
+#   LF_TPU_TEST_BACKEND=tpu python -m pytest tests/test_device_step.py -m slow
+_want_tpu = os.environ.get("LF_TPU_TEST_BACKEND", "cpu") == "tpu"
+if not _want_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -30,12 +38,14 @@ import jax
 # round trip, and OOM-killing the remote compile helper on big fused
 # programs). config.update works after import as long as no backend has been
 # initialized yet.
-jax.config.update("jax_platforms", "cpu")
+if not _want_tpu:
+    jax.config.update("jax_platforms", "cpu")
 
 # cpu-specific cache dir: TPU-session runs (bench.py over the tunnel) emit
 # CPU AOT helper entries compiled with the remote helper's machine features,
 # which execute pathologically here — keep the backends' caches apart
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax-cpu"))
+_cache_tag = "jax-tpu" if _want_tpu else "jax-cpu"
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", _cache_tag))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -103,3 +103,41 @@ def test_make_hybrid_mesh_single_process():
     mesh = dist.make_hybrid_mesh()
     assert mesh.axis_names == ("dcn", "ici")
     assert mesh.devices.shape == (1, jax.local_device_count())
+
+
+def test_protocol_prove_sharded_proof_bytes_equal():
+    """VERDICT r3 item 4: the REAL NIFS prover (linearization + 2x K-way
+    decomposition commits + degree-2b folding sumcheck, GoldilocksDP K=15)
+    executed with witness/MLE arrays sharded over the 8-virtual-device mesh
+    produces byte-identical serialized proofs to the single-device run."""
+    import latticefold_tpu.nifs as nifs
+    import latticefold_tpu.nifs.linearization as linearization
+    from latticefold_tpu.arith.ccs import CCS, CCCS, get_test_r1cs, get_test_z_split
+    from latticefold_tpu.arith.witness import Witness
+    from latticefold_tpu.commitment import AjtaiScheme
+    from latticefold_tpu.params import DP_GOLDILOCKS
+    from latticefold_tpu.serialization import serialize_proof
+    from latticefold_tpu.transcript import Transcript
+
+    ring = RING
+    dp = DP_GOLDILOCKS
+    r1cs = get_test_r1cs(ring)
+    ccs = CCS.from_r1cs_padded(ring, r1cs, W=4, L=dp.L)
+    one, x_ccs, w_host = get_test_z_split(ring, 3)
+    scheme = AjtaiScheme(ring, 4, len(w_host) * dp.L, seed=7)
+    wit = Witness.from_w_ccs(ring, dp, rops.to_device(ring, w_host), n_pad=ccs.m)
+    cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+    acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
+
+    _, _, proof_ref = nifs.prove(
+        acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp
+    )
+
+    mesh = dist.make_mesh(8)
+    folded_s, w0_s, proof_sh = dist.prove_sharded(
+        mesh, acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp
+    )
+
+    assert serialize_proof(ring, proof_sh) == serialize_proof(ring, proof_ref)
+    # the sharded run's folded witness still opens the folded commitment
+    assert w0_s.commit(scheme) == folded_s.cm

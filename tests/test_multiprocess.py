@@ -1,0 +1,121 @@
+"""2-process jax.distributed CPU test (VERDICT r3 item 4): multihost
+initialize + hybrid (dcn x ici) mesh + a sharded modular commit whose
+replicated result must match a single-process oracle bit-exactly.
+
+Each subprocess is one "host" with 2 virtual CPU devices; the pair forms a
+[2 hosts x 2 chips] hybrid mesh over the jax.distributed runtime — the same
+code path a real multi-host TPU pod uses (dist/multihost.py docstring).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+WORKER = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["LF_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.environ["LF_REPO"], ".cache", "jax-cpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from latticefold_tpu import dist
+from latticefold_tpu.rings.construct import get_ring
+
+ok = dist.initialize()
+assert ok, "initialize() must wire jax.distributed from the env"
+assert jax.process_count() == 2, jax.process_count()
+mesh = dist.make_hybrid_mesh()
+assert mesh.axis_names == ("dcn", "ici")
+assert mesh.devices.shape == (2, 2), mesh.devices.shape
+
+ring = get_ring("goldilocks")
+rng = np.random.default_rng(3)
+kappa, n = 2, 8
+R = 1 << (32 * ring.nl)
+ints = rng.integers(0, 1 << 31, size=(kappa, n, ring.ncomp, ring.e), dtype=np.int64)
+mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints.astype(object))
+matrix_np = np.asarray(ring.fq.encode(mont), dtype=np.uint32)
+ints_f = rng.integers(0, 1 << 31, size=(n, ring.ncomp, ring.e), dtype=np.int64)
+mont_f = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints_f.astype(object))
+f_np = np.asarray(ring.fq.encode(mont_f), dtype=np.uint32)
+
+matrix = jax.device_put(matrix_np, NamedSharding(mesh, P(None, ("dcn", "ici"))))
+f = jax.device_put(f_np, NamedSharding(mesh, P(("dcn", "ici"))))
+cm = dist.sharded_commit_2d(ring, mesh, matrix, f)
+# result is replicated; each process reads its addressable shard
+local = np.asarray(cm.addressable_shards[0].data)
+print("RESULT " + json.dumps(local.reshape(-1).tolist()))
+"""
+
+
+@pytest.mark.slow  # two fresh jax processes + distributed bootstrap: ~1-2 min
+def test_two_process_hybrid_mesh_commit(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.update(
+            LF_REPO=REPO,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT "):]))
+    assert results[0] == results[1], "processes disagree on the replicated commit"
+
+    # single-process oracle (same seed/math) on the in-process 8-device mesh
+    import jax
+
+    from latticefold_tpu import dist
+    from latticefold_tpu.rings.construct import get_ring
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    ring = get_ring("goldilocks")
+    rng = np.random.default_rng(3)
+    kappa, n = 2, 8
+    R = 1 << (32 * ring.nl)
+    ints = rng.integers(0, 1 << 31, size=(kappa, n, ring.ncomp, ring.e), dtype=np.int64)
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints.astype(object))
+    matrix = jnp.asarray(ring.fq.encode(mont))
+    ints_f = rng.integers(0, 1 << 31, size=(n, ring.ncomp, ring.e), dtype=np.int64)
+    mont_f = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(ints_f.astype(object))
+    f = jnp.asarray(ring.fq.encode(mont_f))
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    hmesh = Mesh(devs, ("dcn", "ici"))
+    want = np.asarray(dist.sharded_commit_2d(ring, hmesh, matrix, f))
+    assert results[0] == want.reshape(-1).tolist()

@@ -62,6 +62,36 @@ def _run_e2e(name, dp):
     assert w0.commit(scheme) == folded.cm
 
 
+def test_bigm_folding_path_proof_identical(monkeypatch):
+    """The big-m folding path (grouped streaming prep + compact-f-hat
+    W-tensor sumcheck rounds, sumcheck.prove_host_bigm) produces bit-identical
+    proofs and folded accumulators to the standard path — forced on at the
+    small fixture via the env knobs."""
+    ring, ccs, scheme, cm_i, wit = setup("goldilocks", DP_GOLDILOCKS)
+    acc = bootstrap_acc(ring, ccs, cm_i, wit)
+
+    _, _, proof_std = nifs.prove(
+        acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, DP_GOLDILOCKS
+    )
+
+    monkeypatch.setenv("LF_TPU_BIGM_LOGM", "1")  # force big-m path
+    monkeypatch.setenv("LF_TPU_BIGM_EXPAND", "2")  # several W-tensor rounds
+    folded_b, w0_b, proof_big = nifs.prove(
+        acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, DP_GOLDILOCKS
+    )
+
+    assert (
+        proof_big.folding_proof.sumcheck.round_evals
+        == proof_std.folding_proof.sumcheck.round_evals
+    )
+    assert proof_big.folding_proof.theta_s == proof_std.folding_proof.theta_s
+    assert proof_big.folding_proof.eta_s == proof_std.folding_proof.eta_s
+
+    # and the big-m proof verifies
+    folded_v = nifs.verify(acc, cm_i, proof_big, Transcript(ring), ccs, DP_GOLDILOCKS)
+    assert folded_v.r == folded_b.r and folded_v.v == folded_b.v
+
+
 def test_nifs_e2e_goldilocks():
     _run_e2e("goldilocks", DP_GOLDILOCKS)
 
