@@ -1,0 +1,24 @@
+"""Merge sweep/run.py JSON-line outputs into BENCH_GRID_r04.json."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+out = []
+for path in sys.argv[1:-1]:
+    with open(path) as fh:
+        txt = fh.read().strip()
+    if not txt:
+        continue
+    if txt.startswith("["):
+        out.extend(json.loads(txt))
+    else:
+        for line in txt.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                out.append(json.loads(line))
+with open(sys.argv[-1], "w") as fh:
+    json.dump(out, fh, indent=1)
+    fh.write("\n")
+print(f"wrote {len(out)} rows -> {sys.argv[-1]}")

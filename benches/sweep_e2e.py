@@ -26,6 +26,12 @@ sys.path.insert(0, HERE)
 
 
 def main():
+    import faulthandler
+
+    # periodic stack dumps: the tunneled backend can wedge inside a single
+    # remote compile; this shows WHERE without killing the run
+    faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
+
     import jax
 
     tag = "cpu" if jax.default_backend() == "cpu" else "tpu"
@@ -65,8 +71,12 @@ def main():
         except Exception:
             return None
 
+    def log(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
     results = []
     for wit_len in wit_lens:
+        log(f"wit_len={wit_len}: setup")
         t_setup0 = time.perf_counter()
         r1cs = get_test_dummy_r1cs(ring, x_len, wit_len, x_len + wit_len + 1)
         ccs = CCS.from_r1cs_padded(ring, r1cs, W=x_len + wit_len + 1, L=dp.L)
@@ -74,7 +84,9 @@ def main():
         x_ccs = [ring.one()] * x_len
         scheme = AjtaiScheme(ring, kappa, wit_len * dp.L, seed=7)
         wit = Witness.from_w_ccs(ring, dp, rops.to_device(ring, w_host), n_pad=ccs.m)
+        log(f"wit_len={wit_len}: witness/scheme built, committing")
         cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+        log(f"wit_len={wit_len}: bootstrap linearization")
         acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
         setup_s = time.perf_counter() - t_setup0
 
@@ -82,6 +94,7 @@ def main():
         times_p, times_v = [], []
         proof = None
         for i in range(reps + 1):
+            log(f"wit_len={wit_len}: prove rep {i}")
             t0 = time.perf_counter()
             folded, w0, proof = nifs.prove(
                 acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp

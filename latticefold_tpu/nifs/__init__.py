@@ -50,15 +50,29 @@ def prove(
     dp: DecompositionParams,
 ):
     """nifs.rs:48-102. Returns (folded LCCCS, folded Witness, LFProof)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _trace = _os.environ.get("LF_TPU_TRACE_PHASES", "") == "1"
+
+    def _ph(msg):
+        if _trace:
+            print(f"# nifs {_time.strftime('%H:%M:%S')} {msg}",
+                  file=_sys.stderr, flush=True)
+
     ring = ccs.ring
     ccs.sanity_check(dp.L)
     absorb_public_input(ring, acc, cm_i, transcript)
 
+    _ph("linearization")
     linearized_cm_i, lin_proof = linearization.prove(cm_i, w_i, transcript, ccs)
 
+    _ph("decomposition L")
     z_l, lcccs_l, wit_l, dec_proof_l = decomposition.prove(
         acc, w_acc, transcript, ccs, scheme, dp
     )
+    _ph("decomposition R")
     z_r, lcccs_r, wit_r, dec_proof_r = decomposition.prove(
         linearized_cm_i, w_i, transcript, ccs, scheme, dp
     )
@@ -67,9 +81,11 @@ def prove(
     wit_s = wit_l + wit_r
     z_s = z_l + z_r
 
+    _ph("folding")
     folded_lcccs, w_0, fold_proof = folding.prove(
         lcccs, wit_s, transcript, ccs, dp, z_s
     )
+    _ph("done")
 
     return folded_lcccs, w_0, LFProof(
         linearization_proof=lin_proof,

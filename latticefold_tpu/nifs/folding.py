@@ -272,12 +272,24 @@ def _folding_comb(ring: Ring, two_k: int, tau: int, b_small: int):
         eqb = vals[4]
         f = vals[5:]  # [2K*tau, M, ncomp, e, nl] — batched across instances
         f2 = rops.ring_mul(ring, f, f)
-        ev = None
+        # range product f * prod_{x=1}^{b-1}(f^2 - x^2) as a BALANCED tree
+        # (folding/utils.rs:306-317 is a sequential chain): same mod-q work,
+        # depth log2(b) instead of b — at moderate b (16..64) the sequential
+        # chain's 2b-long dependency path serializes the VPU and blows up the
+        # per-round XLA graph depth; the tree keeps both logarithmic.
+        terms = [f]
         for x in range(1, b_small):
             c = rops.k_to_device(ring, ring.K.embed(x * x))
-            term = _sub_diag(ring, f2, c)
-            ev = term if ev is None else rops.ring_mul(ring, ev, term)
-        ev = f if ev is None else rops.ring_mul(ring, ev, f)
+            terms.append(_sub_diag(ring, f2, c))
+        while len(terms) > 1:
+            nxt = [
+                rops.ring_mul(ring, terms[i], terms[i + 1])
+                for i in range(0, len(terms) - 1, 2)
+            ]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        ev = terms[0]
         ev = rops.ring_mul(ring, ev, eqb[None])
         ev = ev.reshape((two_k, tau) + ev.shape[1:])
         inter = None

@@ -38,6 +38,12 @@ DP_STARK_FOLDING = DecompositionParams(B=3010936384, L=8, b=38, K=6)
 # same b^K >= B grid keeps the sumcheck at degree 4 (more, smaller folded
 # instances: K=32), making Stark end-to-end folding actually runnable.
 DP_STARK_E2E = DecompositionParams(B=1 << 32, L=8, b=2, K=32)
+# moderate-b point from the same b^K >= B grid (16^4 = 2^16 >= 2^15): a
+# degree-32 folding sumcheck with only K=4 decomposed instances per side.
+# Runnable here thanks to the balanced product-tree range comb
+# (nifs/folding.py — the reference evaluates the degree-2b product as a
+# sequential chain, folding/utils.rs:306-317).
+DP_GOLDILOCKS_B16 = DecompositionParams(B=1 << 15, L=5, b=16, K=4)
 # small params for fast tests (reference test_params::DP)
 DP_TEST = DecompositionParams(B=1024, L=2, b=2, K=10)
 DP_TEST_L1 = DecompositionParams(B=1024, L=1, b=2, K=10)

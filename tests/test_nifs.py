@@ -62,6 +62,23 @@ def _run_e2e(name, dp):
     assert w0.commit(scheme) == folded.cm
 
 
+def test_nifs_e2e_goldilocks_b16_moderate_b():
+    """Moderate-b parameter point (b=16, K=4 — degree-32 folding sumcheck,
+    VERDICT r3 item 10): e2e fold prove+verify with the balanced
+    product-tree range comb. Runs eagerly on CPU (a degree-32 comb round
+    kernel is an XLA:CPU compile bomb; the fixture is tiny, and TPU runs
+    the jitted kernels via the benches)."""
+    import contextlib
+
+    import jax
+
+    from latticefold_tpu.params import DP_GOLDILOCKS_B16
+
+    ctx = jax.disable_jit() if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    with ctx:
+        _run_e2e("goldilocks", DP_GOLDILOCKS_B16)
+
+
 def test_bigm_folding_path_proof_identical(monkeypatch):
     """The big-m folding path (grouped streaming prep + compact-f-hat
     W-tensor sumcheck rounds, sumcheck.prove_host_bigm) produces bit-identical
