@@ -65,16 +65,35 @@ def prove(
     ccs.sanity_check(dp.L)
     absorb_public_input(ring, acc, cm_i, transcript)
 
+    # Big-m shared-buffer arena: at m >= 2^16 the 2K per-witness f_hat/f
+    # arrays PLUS their later stacked copies are a ~2x HBM spike that OOMs a
+    # 16 GB chip at 2^20. Decomposition fills the pre-allocated [2K, ...]
+    # buffers with donated in-place row writes as each digit witness is
+    # produced; folding consumes them directly (no stack).
+    import jax.numpy as _jnp
+
+    arena = None
+    if ccs.s >= int(_os.environ.get("LF_TPU_BIGM_LOGM", "16")):
+        nl_len = w_i.f.shape[0]
+        arena = {
+            "fhat": _jnp.zeros(
+                (2 * dp.K, ring.tau, ccs.m, ring.ncomp, ring.nl), dtype=_jnp.uint32
+            ),
+            "f": _jnp.zeros(
+                (2 * dp.K, nl_len, ring.ncomp, ring.e, ring.nl), dtype=_jnp.uint32
+            ),
+        }
+
     _ph("linearization")
     linearized_cm_i, lin_proof = linearization.prove(cm_i, w_i, transcript, ccs)
 
     _ph("decomposition L")
     z_l, lcccs_l, wit_l, dec_proof_l = decomposition.prove(
-        acc, w_acc, transcript, ccs, scheme, dp
+        acc, w_acc, transcript, ccs, scheme, dp, arena=arena, slot0=0
     )
     _ph("decomposition R")
     z_r, lcccs_r, wit_r, dec_proof_r = decomposition.prove(
-        linearized_cm_i, w_i, transcript, ccs, scheme, dp
+        linearized_cm_i, w_i, transcript, ccs, scheme, dp, arena=arena, slot0=dp.K
     )
 
     lcccs = lcccs_l + lcccs_r
@@ -83,7 +102,7 @@ def prove(
 
     _ph("folding")
     folded_lcccs, w_0, fold_proof = folding.prove(
-        lcccs, wit_s, transcript, ccs, dp, z_s
+        lcccs, wit_s, transcript, ccs, dp, z_s, arena=arena
     )
     _ph("done")
 

@@ -97,15 +97,40 @@ def decompose_big_vec_into_k_vec_and_compose_back(
     return out
 
 
-def decompose_witness(ring: Ring, dp: DecompositionParams, wit: Witness, n_pad: int) -> List[Witness]:
+def decompose_witness(
+    ring: Ring, dp: DecompositionParams, wit: Witness, n_pad: int,
+    arena=None, slot0: int = 0,
+) -> List[Witness]:
     """decompose_B_vec_into_k_vec + Witness::from_f_coeff per digit
-    (decomposition.rs:162-167)."""
+    (decomposition.rs:162-167).
+
+    With ``arena`` (big-m memory discipline): each digit witness's f_hat and
+    f are moved into the shared pre-allocated [2K, ...] buffers via DONATED
+    in-place row writes as they are produced, and the per-witness arrays are
+    dropped — at m=2^20 keeping 2K individual copies alive alongside their
+    later stacked form needs ~2x 10 GB and OOMs the chip. The returned
+    Witness objects carry f=None/f_hat=None in arena mode; consumers read
+    arena rows instead.
+    """
     digs = mo.signed_digits(ring.fq, wit.f_coeff, dp.b, dp.K)  # [NL, d, K]
     out = []
     for k in range(dp.K):
         f_coeff_k = mo.digits_to_field(ring.fq, digs[..., k])
-        out.append(Witness.from_f_coeff(ring, dp, f_coeff_k, n_pad))
+        w = Witness.from_f_coeff(ring, dp, f_coeff_k, n_pad)
+        if arena is not None:
+            arena["fhat"] = _fill_row(arena["fhat"], slot0 + k, w.f_hat)
+            arena["f"] = _fill_row(arena["f"], slot0 + k, w.f)
+            w.f_hat = None
+            w.f = None
+            w.f_coeff = None
+        out.append(w)
     return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fill_row(buf, i, row):
+    """In-place row write (donation aliases buf into the output buffer)."""
+    return jax.lax.dynamic_update_index_in_dim(buf, row, i, 0)
 
 
 def prove(
@@ -115,25 +140,40 @@ def prove(
     ccs: CCS,
     scheme: AjtaiScheme,
     dp: DecompositionParams,
+    arena=None,
+    slot0: int = 0,
 ):
     """decomposition.rs:33-88. Returns (z_s, lcccs_s, wit_s, proof).
 
     z_s: the K device z-vectors (x_k || w_ccs_k), retained for the folding
     prover's streaming Mz evaluations in place of materialized Mz MLEs.
+    ``arena``/``slot0``: big-m shared-buffer mode (see decompose_witness).
     """
     ring = ccs.ring
     ccs.sanity_check(dp.L)
 
-    wit_s = decompose_witness(ring, dp, wit, ccs.m)
+    wit_s = decompose_witness(ring, dp, wit, ccs.m, arena=arena, slot0=slot0)
     x_s = decompose_big_vec_into_k_vec_and_compose_back(
         ring, dp, list(cm_i.x_w) + [cm_i.h]
     )
 
+    def _f_of(k):
+        return arena["f"][slot0 + k] if arena is not None else wit_s[k].f
+
+    def _fhat_of(k):
+        return arena["fhat"][slot0 + k] if arena is not None else wit_s[k].f_hat
+
     # commitments: y_1..y_{K-1} on device (one batched MXU matmul);
-    # y_0 derived homomorphically
-    if dp.K > 1 and scheme.n >= AjtaiScheme._MXU_MIN_N:
-        batch = jnp.stack([w.f for w in wit_s[1:]], axis=1)  # [n, K-1, ...]
+    # y_0 derived homomorphically. Arena mode always batches (w.f moved into
+    # the shared buffer; the MXU/VPU paths are bit-identical so using the
+    # batched kernel below _MXU_MIN_N only costs setup time on tiny fixtures).
+    if dp.K > 1 and (arena is not None or scheme.n >= AjtaiScheme._MXU_MIN_N):
+        if arena is not None:
+            batch = jnp.moveaxis(arena["f"][slot0 + 1 : slot0 + dp.K], 0, 1)
+        else:
+            batch = jnp.stack([w.f for w in wit_s[1:]], axis=1)  # [n, K-1, ...]
         cms = scheme.commit_batch(batch)  # [kappa, K-1, ...]
+        del batch
         cms_host = rops.to_host(ring, cms)
         commitments_k1 = [
             Commitment(ring, list(cms_host[:, i])) for i in range(dp.K - 1)
@@ -148,8 +188,8 @@ def prove(
 
     rs = mlemod.point_to_device(ring, cm_i.r)
     v_s = [
-        list(rops.to_host(ring, mlemod.evaluate_subfield(ring, w.f_hat, rs)))
-        for w in wit_s
+        list(rops.to_host(ring, mlemod.evaluate_subfield(ring, _fhat_of(k), rs)))
+        for k in range(dp.K)
     ]
 
     # Streaming-Mz memory discipline (SURVEY.md §7.3 hard part 7): instead of

@@ -403,19 +403,33 @@ def prove(
     ccs: CCS,
     dp: DecompositionParams,
     z_s: List,
+    arena=None,
 ):
     """folding.rs:42-130. ``z_s``: the 2K device z-vectors from the two
     decomposition calls; Mz values are streamed from them (one SpMV batch per
-    CCS matrix) rather than passed as materialized MLE tables."""
+    CCS matrix) rather than passed as materialized MLE tables. ``arena``:
+    big-m shared-buffer mode — f_hat/f come pre-stacked from the
+    decomposition fills (no 2x stack transient; see decomposition.py)."""
     ring = ccs.ring
     ccs.sanity_check(dp.L)
     if len(cm_i_s) != 2 * dp.K:
         raise FoldingError("expected 2K instances")
     log_m = ccs.s
 
+    # memory discipline (folding.rs:52-57): the 2K decomposed witnesses'
+    # coefficient tables ([NL, d, nl] each — ~3.8 GB at m=2^20) are dead from
+    # here on; only f (rho-fold) and f_hat (sumcheck) survive. These
+    # witnesses are protocol-internal (decomposition.prove created them), so
+    # freeing is safe; caller-owned input witnesses are left untouched.
+    for w in w_s:
+        w.f_coeff = None
+
     alpha_s, beta_s, zeta_s, mu_s = squeeze_alpha_beta_zeta_mu(ring, transcript, dp, log_m)
 
-    f_hat_all = jnp.stack([w.f_hat for w in w_s])  # [2K, tau, m, ...]
+    if arena is not None:
+        f_hat_all = arena["fhat"]  # [2K, tau, m, ...]
+    else:
+        f_hat_all = jnp.stack([w.f_hat for w in w_s])
     z_all = jnp.stack(z_s)  # [2K, ncols, ...]
 
     r_first, r_second = cm_i_s[0].r, cm_i_s[dp.K].r
@@ -429,13 +443,16 @@ def prove(
     comb = _folding_comb(ring, 2 * dp.K, ring.tau, dp.b)
     degree = 2 * dp.b
 
-    # Big-m path (SURVEY.md §7.3 hard part 7 / ARCHITECTURE.md §9): above
-    # this size the expanded 2K*tau f-hat rows would not fit HBM; keep them
-    # subfield-compact through the first rounds (proof bytes identical,
-    # differentially tested in tests/test_sumcheck.py).
-    bigm_logm = int(os.environ.get("LF_TPU_BIGM_LOGM", "18"))
+    # Big-m path (SURVEY.md §7.3 hard part 7 / ARCHITECTURE.md §9b): above
+    # this size the standard whole-table round kernels exhaust HBM — the
+    # XLA:TPU-scheduled comb holds ~13 live [2K*tau, m/2] ring temps
+    # (measured: m=2^16 OOMs a 16 GB chip) — and the expanded f-hat rows
+    # stop fitting outright at 2^19+. The chunked W-tensor rounds keep one
+    # chunk of expansion live at a time (proof bytes identical,
+    # differentially tested in tests/test_nifs.py).
+    bigm_logm = int(os.environ.get("LF_TPU_BIGM_LOGM", "16"))
     if log_m >= bigm_logm:
-        expand_nvars = int(os.environ.get("LF_TPU_BIGM_EXPAND", "16"))
+        expand_nvars = int(os.environ.get("LF_TPU_BIGM_EXPAND", "13"))
         full5, fhat_sub = prepare_folding_parts_grouped(
             ring, dp.K, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas
         )
@@ -473,7 +490,10 @@ def prove(
 
     rho_coeff_s, rho_ntt_s = get_rhos(ring, transcript, dp)
 
-    f_all = jnp.stack([w.f for w in w_s])
+    if arena is not None:
+        f_all = arena["f"]
+    else:
+        f_all = jnp.stack([w.f for w in w_s])
     rhos_dev = rops.to_device(ring, rho_ntt_s)
     f_0 = fold_witnesses(ring, f_all, rhos_dev)
 
