@@ -443,13 +443,16 @@ def _bigm_round_fn(comb: CombFn, degree: int, j: int, n_chunks: int):
         nf = fhat_sub.shape[0]
         ncomp, nl = fhat_sub.shape[-2], fhat_sub.shape[-1]
         cp = (S // 2) // n_chunks  # chunk pairs
-        f5 = cur5.reshape((n5, n_chunks, cp * 2) + cur5.shape[2:])
-        f5 = jnp.moveaxis(f5, 1, 0)  # [n_chunks, n5, cp*2, ...]
-        fh = fhat_sub.reshape(nf, n_chunks, cp * 2, 1 << j, ncomp, nl)
-        fh = jnp.moveaxis(fh, 1, 0)  # [n_chunks, nf, cp*2, 2^j, c, nl]
+        # a folded pair x reads the CONTIGUOUS original range
+        # [x*2^(j+1), (x+1)*2^(j+1)), so chunks are dynamic slices of the big
+        # tables — a scan over transposed xs views would materialize a full
+        # relayout copy of the multi-GB f-hat table (OOM'd m=2^19, round 4)
+        span = cp * (2 << j)  # original elements per chunk
 
-        def body(acc, inp):
-            c5, cf = inp
+        def chunk_evs(idx):
+            c5 = jax.lax.dynamic_slice_in_dim(cur5, idx * cp * 2, cp * 2, axis=1)
+            cf = jax.lax.dynamic_slice_in_dim(fhat_sub, idx * span, span, axis=1)
+            cf = cf.reshape(nf, cp * 2, 1 << j, ncomp, nl)
             folded = None  # [nf, cp*2, c, e, nl]
             for y in range(1 << j):
                 term = mo.mont_mul(m, cf[:, :, y, :, None, :], W[y])
@@ -466,16 +469,16 @@ def _bigm_round_fn(comb: CombFn, degree: int, j: int, n_chunks: int):
                 for _ in range(2, degree + 1):
                     cur = rops.ring_add(ring, cur, step)
                     evs.append(rops.ring_sum(ring, comb.fn(cur, consts), 0))
-            evs = jnp.stack(evs)
-            acc = evs if acc is None else rops.ring_add(ring, acc, evs)
-            return acc, None
+            return jnp.stack(evs)
 
-        acc = None
         if n_chunks == 1:
-            acc, _ = body(None, (f5[0], fh[0]))
-        else:
-            acc, _ = body(None, (f5[0], fh[0]))
-            acc, _ = jax.lax.scan(body, acc, (f5[1:], fh[1:]))
+            return chunk_evs(0)
+
+        def body(acc, idx):
+            return rops.ring_add(ring, acc, chunk_evs(idx)), None
+
+        acc = chunk_evs(0)
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(1, n_chunks))
         return acc
 
     return kernel
