@@ -145,7 +145,9 @@ def prepare_folding_parts_grouped(
     O(group * m) ring elements instead of O(2K * m) (~5.8 GB at 2^20).
     Mod-q adds commute exactly -> identical values to the ungrouped path.
 
-    Returns (full5 [5, m, c, e, nl], fhat_sub [2K*tau, m, c, nl]).
+    Returns full5 [5, m, c, e, nl] (the caller passes f_hat_all to
+    prove_host_bigm unreshaped — an out-of-jit reshape of the multi-GB
+    compact table would copy it on device).
     """
     twoK = f_hat_all.shape[0]
     combined = [None, None]
@@ -169,9 +171,7 @@ def prepare_folding_parts_grouped(
                 part if combined[half] is None
                 else _ring_add_j(ring, combined[half], part)
             )
-    full5 = jnp.stack([eq1, combined[0], eq2, combined[1], beta_eq])
-    fhat_sub = f_hat_all.reshape((-1,) + f_hat_all.shape[2:])
-    return full5, fhat_sub
+    return jnp.stack([eq1, combined[0], eq2, combined[1], beta_eq])
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -453,13 +453,22 @@ def prove(
     bigm_logm = int(os.environ.get("LF_TPU_BIGM_LOGM", "16"))
     if log_m >= bigm_logm:
         expand_nvars = int(os.environ.get("LF_TPU_BIGM_EXPAND", "13"))
-        full5, fhat_sub = prepare_folding_parts_grouped(
+        full5 = prepare_folding_parts_grouped(
             ring, dp.K, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas
         )
+        # hand the compact f-hat buffer over in a box and drop every local /
+        # arena reference: the sumcheck frees it right after its round-J
+        # expansion (multi-GB at 2^19+)
+        fhat_box = [f_hat_all]
+        f_hat_all = None
+        if arena is not None:
+            arena["fhat"] = None
+        del eq1, eq2, beta_eq
         proof_sc, r_0, final_vals = sc.prove_host_bigm(
-            ring, transcript, full5, fhat_sub, log_m, degree, comb, mus,
+            ring, transcript, full5, fhat_box, log_m, degree, comb, mus,
             expand_nvars=expand_nvars,
         )
+        del full5
     else:
         mles = prepare_folding_mles_streaming(
             ring, dp.K, f_hat_all, z_all, ccs, eq1, eq2, beta_eq, alphas, zetas

@@ -180,6 +180,12 @@ def trace_prove(sp, mles, nvars: int, degree: int, comb: CombFn, consts=()):
     evs_list, chal_list = [], []
     for _ in range(n_unroll):
         evs = _round_evs(ring, comb, degree, cur, consts)
+        # barrier: without it XLA (observed on the TPU backend, round 4 —
+        # same pathology class as the XLA:CPU scan-carry bug below) fuses the
+        # fold into the round-message computation and corrupts the next
+        # round's tables; the differential vs the per-round host prover
+        # caught round-1 divergence (tests/test_device_transcript.py)
+        cur, evs = jax.lax.optimization_barrier((cur, evs))
         sp.absorb_ring(evs)
         c = sp.get_challenge()
         sp.absorb_field_element(c)
@@ -303,22 +309,31 @@ def prove(
     Tests that target the device-transcript machinery itself call
     ``prove_device`` directly.
 
-    LF_TPU_SUMCHECK=host forces the per-round path on any backend: the
-    whole-sumcheck program at large m is a single giant XLA compile that the
-    tunneled remote-compile helper handles poorly (observed >30 min at
-    m=2^15, round 4); per-round kernels compile in seconds each and the
-    ~3 host syncs/round (~75 ms) are noise at those table sizes.
+    Default on ALL backends is now the per-round host-transcript path.
+    Round 4's new TPU-backend test leg exposed that the whole-sumcheck
+    device-transcript program produces WRONG round messages on the current
+    tunneled TPU backend for goldilocks (frog passes; deterministic;
+    divergence from round 1; reproduced with the lax.scan tail fully
+    unrolled, so it is not the scan-carry pathology — an XLA:TPU
+    fusion/scheduling miscompile inside the fused trace is suspected;
+    reproducer: tests/test_device_transcript.py::
+    test_device_sumcheck_matches_host_prover under LF_TPU_TEST_BACKEND=tpu).
+    Until root-caused, the single-dispatch path is opt-in via
+    LF_TPU_SUMCHECK=device and must only be used where its differential
+    passes. The per-round path costs ~3 host syncs/round (~75 ms over the
+    tunnel) — noise at production table sizes — and its giant-program
+    compile pathology is also avoided (>30 min remote compiles at m=2^15).
     """
     import os as _os
 
     import jax as _jax
 
     if (
-        _jax.default_backend() == "cpu"
-        or _os.environ.get("LF_TPU_SUMCHECK", "") == "host"
+        _jax.default_backend() != "cpu"
+        and _os.environ.get("LF_TPU_SUMCHECK", "host") == "device"
     ):
-        return prove_host(ring, transcript, mles, nvars, degree, comb, comb_consts)
-    return prove_device(ring, transcript, mles, nvars, degree, comb, comb_consts)
+        return prove_device(ring, transcript, mles, nvars, degree, comb, comb_consts)
+    return prove_host(ring, transcript, mles, nvars, degree, comb, comb_consts)
 
 
 def prove_device(
@@ -437,11 +452,14 @@ def _bigm_round_fn(comb: CombFn, degree: int, j: int, n_chunks: int):
     m = ring.fq
 
     @jax.jit
-    def kernel(cur5, fhat_sub, W, consts):
-        # cur5: [n5, S, c, e, nl]; fhat_sub: [nf, S*2^j, c, nl]; W: [2^j, e, nl]
+    def kernel(cur5, fhat5, W, consts):
+        # cur5: [n5, S, c, e, nl]; fhat5: [2K, tau, S*2^j, c, nl] (reshaped
+        # IN-GRAPH — an out-of-jit reshape of the multi-GB buffer executes as
+        # a device op and copies it, which OOM'd m=2^19); W: [2^j, e, nl]
         n5, S = cur5.shape[0], cur5.shape[1]
-        nf = fhat_sub.shape[0]
-        ncomp, nl = fhat_sub.shape[-2], fhat_sub.shape[-1]
+        nf = fhat5.shape[0] * fhat5.shape[1]
+        ncomp, nl = fhat5.shape[-2], fhat5.shape[-1]
+        fhat_sub = fhat5.reshape((nf,) + fhat5.shape[2:])
         cp = (S // 2) // n_chunks  # chunk pairs
         # a folded pair x reads the CONTIGUOUS original range
         # [x*2^(j+1), (x+1)*2^(j+1)), so chunks are dynamic slices of the big
@@ -485,12 +503,13 @@ def _bigm_round_fn(comb: CombFn, degree: int, j: int, n_chunks: int):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
-def _bigm_expand(ring: Ring, fhat_sub, j: int, W):
+def _bigm_expand(ring: Ring, fhat5, j: int, W):
     """Materialize the round-J folded f-hat tables in full K form:
     out[x] = sum_y W[y] * orig[x*2^J + y];  [nf, S, c, e, nl]."""
     m = ring.fq
-    nf, tot = fhat_sub.shape[0], fhat_sub.shape[1]
-    sub = fhat_sub.reshape((nf, tot >> j, 1 << j) + fhat_sub.shape[2:])
+    nf = fhat5.shape[0] * fhat5.shape[1]
+    tot = fhat5.shape[2]
+    sub = fhat5.reshape((nf, tot >> j, 1 << j) + fhat5.shape[3:])
     out = None
     for y in range(1 << j):
         term = mo.mont_mul(m, sub[:, :, y, :, None, :], W[y])
@@ -502,23 +521,33 @@ def prove_host_bigm(
     ring: Ring,
     transcript: Transcript,
     full5,
-    fhat_sub,
+    fhat5,
     nvars: int,
     degree: int,
     comb: CombFn,
     comb_consts=(),
     expand_nvars: int = 17,
-    chunk_pairs: int = 1 << 13,
+    chunk_pairs: int = 1 << 11,
 ):
+    # chunk size: the degree-(2b) comb over [2K*tau + 5, 2*chunk] values
+    # holds ~5 evaluation branches of ring temps; 2^13 pairs measured ~8 GB
+    # of kernel transients at 2K=30 (OOM at m=2^19 alongside the arena) —
+    # 2^11 keeps the kernel under ~2 GB at the same MXU/VPU utilization.
     """Host-transcript sumcheck prover with compact f-hat rows kept unexpanded
     through the first ``nvars - expand_nvars`` rounds (see module note).
 
     ``full5``: [n5, 2^nvars, c, e, nl] fully-expanded rows (eq/combined);
-    ``fhat_sub``: [nf, 2^nvars, c, nl] subfield-compact rows. The comb sees
-    the stacked order [full5..., fhat...], identical to the standard path.
-    Returns (SumcheckProof, challenges, final_vals [n5+nf, ...]).
+    ``fhat5``: [2K, tau, 2^nvars, c, nl] subfield-compact rows, OR a
+    single-element list box holding that array — in box form the compact
+    buffer reference is dropped after the round-J expansion so the multi-GB
+    table frees mid-sumcheck (callers must drop their own references too).
+    The comb sees the stacked order [full5..., fhat rows (2K-major)],
+    identical to the standard path. Returns (SumcheckProof, challenges,
+    final_vals [n5+nf, ...]).
     """
-    assert full5.shape[1] == 1 << nvars and fhat_sub.shape[1] == 1 << nvars
+    fhat_box = fhat5 if isinstance(fhat5, list) else [fhat5]
+    fhat5 = None
+    assert full5.shape[1] == 1 << nvars and fhat_box[0].shape[2] == 1 << nvars
     transcript.absorb(ring.embed_int(nvars))
     transcript.absorb(ring.embed_int(degree))
     J = max(0, nvars - expand_nvars)
@@ -531,7 +560,7 @@ def prove_host_bigm(
         n_chunks = max(1, (S // 2) // chunk_pairs)
         W = _w_tensor_dev(ring, challenges)
         kernel = _bigm_round_fn(comb, degree, rnd, n_chunks)
-        evs_dev = kernel(cur5, fhat_sub, W, comb_consts)
+        evs_dev = kernel(cur5, fhat_box[0], W, comb_consts)
         evs_host = list(rops.to_host(ring, evs_dev))
         transcript.absorb_slice(evs_host)
         round_evals.append(evs_host)
@@ -540,8 +569,10 @@ def prove_host_bigm(
         challenges.append(c)
         cur5 = mlemod.fold(ring, cur5, rops.k_to_device(ring, c))
 
-    fh_full = _bigm_expand(ring, fhat_sub, J, _w_tensor_dev(ring, challenges))
+    fh_full = _bigm_expand(ring, fhat_box[0], J, _w_tensor_dev(ring, challenges))
+    fhat_box[0] = None  # compact rows dead: free the big buffer
     mles = jnp.concatenate([cur5, fh_full], axis=0)
+    del cur5, fh_full
 
     # standard per-round tail (same kernels as prove_host)
     kernel = _round_kernel(comb, degree)
