@@ -98,16 +98,24 @@ def _chunked_rows(block_fn, x, tail_ndim: int):
 def crt(ring: Ring, coeffs):
     """[..., d, nl] coefficient form -> [..., ncomp, e, nl] NTT form.
 
-    On TPU-class backends: the conv-folded MXU transform (rings/mxu.py) —
-    one bf16 matmul against the precomputed byte-position-folded CRT matrix
-    plus the carry/REDC epilogue. On the CPU backend: the streamed VPU
-    `mat_apply` path — the conv epilogue's unrolled carry/REDC chains (68
-    byte positions x 9 REDC rounds for stark nl=8) make XLA:CPU compiles
-    blow past 45 minutes (measured round 3); the two paths are bit-identical
-    (tests/test_rings.py:test_crt_conv_matches_vpu).
+    On TPU-class backends: the fused Pallas transform (rings/pallas_crt.py)
+    — conv matmul + carry/REDC epilogue in one kernel, no HBM position
+    intermediate (~2.5x the XLA conv path, round-5 measurement); the XLA
+    conv path (rings/mxu.py) remains as LF_TPU_CRT=conv and for tiny
+    batches. On the CPU backend: the streamed VPU `mat_apply` path — the
+    conv epilogue's unrolled carry/REDC chains (68 byte positions x 9 REDC
+    rounds for stark nl=8) make XLA:CPU compiles blow past 45 minutes
+    (measured round 3). All paths are bit-identical
+    (tests/test_rings.py:test_crt_conv_matches_vpu, test_crt_pallas_fused).
     """
     if jax.default_backend() == "cpu":
         return crt_vpu(ring, coeffs)
+    if _use_pallas_crt(ring, coeffs.shape[:-2]):
+        from . import pallas_crt
+
+        return _chunked_rows(
+            functools.partial(pallas_crt.crt, ring), coeffs, 2
+        )
     return _chunked_rows(functools.partial(_crt_block, ring), coeffs, 2)
 
 
@@ -115,7 +123,27 @@ def icrt(ring: Ring, x):
     """[..., ncomp, e, nl] NTT form -> [..., d, nl] coefficient form."""
     if jax.default_backend() == "cpu":
         return icrt_vpu(ring, x)
+    if _use_pallas_crt(ring, x.shape[:-3]):
+        from . import pallas_crt
+
+        return _chunked_rows(
+            functools.partial(pallas_crt.icrt, ring), x, 3
+        )
     return _chunked_rows(functools.partial(_icrt_block, ring), x, 3)
+
+
+def _use_pallas_crt(ring: Ring, lead_shape) -> bool:
+    import os
+
+    from . import pallas_crt
+
+    if os.environ.get("LF_TPU_CRT") == "conv":
+        return False
+    n = 1
+    for s in lead_shape:
+        n *= int(s)
+    # tiny batches: padding to the kernel block wastes more than it saves
+    return n >= 512 and pallas_crt.supported(ring)
 
 
 def crt_conv(ring: Ring, coeffs):

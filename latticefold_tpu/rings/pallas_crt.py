@@ -1,0 +1,185 @@
+"""Fused Pallas CRT/ICRT kernel: conv matmul + carry/REDC epilogue in VMEM.
+
+The XLA conv path (rings/ops.py `_crt_block` / rings/mxu.py `conv_apply`)
+materializes the byte-position matmul result ([N, d*S] u32, ~4x the output
+bytes) in HBM between the MXU dot and the carry-pack/REDC epilogue, and XLA
+splits the epilogue's long u32 chains into several fusions — measured round
+4 at 5.7% of the HBM-stream speed-of-light (BENCH_DETAILS.json roofline).
+This kernel runs the whole transform per block inside one Pallas program so
+the only HBM traffic is the coefficient block in and the NTT block out.
+
+Layout: everything inside the kernel is TRANSPOSED — elements on lanes,
+byte positions / output words on sublanes. With d*nl words on the minor
+axis (24..128 << the 128-lane tile) every VPU temp would waste 5-60x of its
+lanes; transposed, the epilogue's ~100 u32 ops run on fully packed [d, BLK]
+slabs, and the position slabs y[s*d:(s+1)*d] are aligned sublane slices.
+The MXU dot contracts the conv matrix's byte axis against the in-register
+witness byte planes (`dot_general` with rhs-dim-1 contraction), and the
+final [W, BLK] -> [BLK, W] transpose happens once per block in VMEM.
+
+Semantics: identical to rings.ops.crt / icrt (the stark-rings CRT/ICRT
+role, SURVEY.md section 2.6; reference use sites
+/root/reference/crates/latticefold/src/arith.rs:232-241). Bit-identical to
+the conv path (differential: tests/test_rings.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import modops as mo
+from . import mxu
+from .construct import Ring
+
+_BLK = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_matrix_T_np(ring: Ring, which: str) -> np.ndarray:
+    """Transposed conv-folded CRT/ICRT matrix [d*S, 4*W] float32.
+
+    Row (s*d + o) holds byte-position s of output word o; column
+    (b*W + i*nl + l) matches the kernel's in-register plane build: byte b of
+    limb l of input element i (4 lane-concatenated [BLK, W] slabs).
+    Entries carry the R2 = 2^(32*(nl+1)) Montgomery pre-adjustment so the
+    wide REDC lands in the standard Montgomery domain (see rings/mxu.py
+    module docstring, step 1).
+    """
+    rows = {"crt": ring.crt_rows, "icrt": ring.icrt_rows}[which]
+    m = ring.fq
+    nl, d = ring.nl, ring.d
+    W = d * nl
+    DA = 4 * nl
+    S = 2 * DA - 1
+    R = 1 << (32 * nl)
+    adj = np.array(
+        [[v * R * (1 << 32) % ring.q for v in row] for row in rows], dtype=object
+    )
+    planes = mxu._np_planes(m.encode(adj))  # [dout, din, 4nl] u8
+    CT = np.zeros((d * S, 4 * W), dtype=np.float32)
+    for b in range(4):
+        for l in range(nl):
+            j = l * 4 + b  # byte significance within the little-endian value
+            for i in range(d):
+                col = b * W + i * nl + l
+                for ia in range(DA):
+                    s = ia + j
+                    CT[s * d : (s + 1) * d, col] += planes[:, i, ia].astype(
+                        np.float32
+                    )
+    return CT
+
+
+def _redc_wide_list(m: mo.Modulus, t_limbs):
+    """mxu._redc_wide returning the nl result limbs as a list (no minor-axis
+    stack — a [.., nl] minor dim wastes lanes inside a Pallas kernel)."""
+    nl = m.nl
+    n_extra = len(t_limbs) - nl
+    q = [np.uint32(m.q_limbs[i]) for i in range(nl)]
+    ninv = np.uint32(m.ninv)
+    zero = jnp.zeros_like(t_limbs[0])
+    t = list(t_limbs) + [zero]
+    for _ in range(n_extra):
+        mu = t[0] * ninv
+        c = zero
+        for j in range(nl):
+            c, t[j] = mo._mac(mu, q[j], t[j], c)
+        for j in range(nl, len(t)):
+            t[j], c = mo._addc(t[j], c)
+        t = t[1:]
+    res = t[:nl]
+    over = t[nl]
+    qc = mo._qconst(m, res[0])
+    ge = over | mo._geq(res, qc, nl)
+    red, _ = mo._sub_limbs(res, qc, nl)
+    return mo._csel(ge, red, res, nl)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_fn(ring: Ring, which: str, n_pad: int):
+    """Jitted fused transform over [n_pad, W] u32 (n_pad % _BLK == 0)."""
+    m = ring.fq
+    nl, d = ring.nl, ring.d
+    W = d * nl
+    DA = 4 * nl
+    S = 2 * DA - 1
+    CT = jnp.asarray(_conv_matrix_T_np(ring, which), dtype=jnp.bfloat16)
+
+    def kernel(x_ref, c_ref, o_ref):
+        x = x_ref[...]  # [BLK, W] u32
+        parts = [
+            ((x >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.bfloat16)
+            for b in range(4)
+        ]
+        xb = jnp.concatenate(parts, axis=-1)  # [BLK, 4W], cols match CT
+        y = jax.lax.dot_general(
+            c_ref[...], xb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d*S, BLK]; exact: 4W <= 512 byte-products of < 2^16 stay < 2^24
+        u_list = [
+            y[s * d : (s + 1) * d, :].astype(jnp.int32).astype(jnp.uint32)
+            for s in range(S)
+        ]
+        t_limbs = mxu._carry_pack(u_list, 2 * nl + 1)
+        limbs = _redc_wide_list(m, t_limbs)  # nl x [d, BLK]
+        out = jnp.concatenate([l[:, None, :] for l in limbs], axis=1)
+        o_ref[...] = out.reshape(W, x.shape[0]).T  # [BLK, W]
+
+    @jax.jit
+    def run(x2):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_pad // _BLK,),
+            in_specs=[
+                pl.BlockSpec((_BLK, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d * S, 4 * W), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_BLK, W), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, W), jnp.uint32),
+            interpret=jax.default_backend() == "cpu",
+        )(x2, CT)
+
+    return run
+
+
+def supported(ring: Ring) -> bool:
+    """VMEM envelope check: the conv matrix block plus the [d, BLK] epilogue
+    slabs must fit. All four shipped rings pass; the guard covers exotic
+    future rings."""
+    W = ring.d * ring.nl
+    S = 8 * ring.nl - 1
+    ct_bytes = ring.d * S * 4 * W * 2
+    return ct_bytes <= (1 << 22)
+
+
+def _apply(ring: Ring, which: str, flat):
+    N, W = flat.shape[0], ring.d * ring.nl
+    n_pad = -(-N // _BLK) * _BLK
+    x2 = flat.reshape(N, W)
+    if n_pad != N:
+        x2 = jnp.pad(x2, ((0, n_pad - N), (0, 0)))
+    out = _fused_fn(ring, which, n_pad)(x2)
+    return out[:N]
+
+
+def crt(ring: Ring, coeffs):
+    """[N, d, nl] coefficient form -> [N, ncomp, e, nl] NTT form (fused)."""
+    out = _apply(ring, "crt", coeffs)
+    return out.reshape(out.shape[0], ring.ncomp, ring.e, ring.nl)
+
+
+def icrt(ring: Ring, x):
+    """[N, ncomp, e, nl] NTT form -> [N, d, nl] coefficient form (fused)."""
+    out = _apply(ring, "icrt", x.reshape(x.shape[0], ring.d, ring.nl))
+    return out.reshape(out.shape[0], ring.d, ring.nl)
+
+
+__all__ = ["crt", "icrt", "supported"]

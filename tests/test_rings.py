@@ -121,3 +121,40 @@ def test_crt_conv_matches_vpu(name):
     ai = np.asarray(rops.icrt_conv(ring, x))
     bi = np.asarray(rops.icrt_vpu(ring, x))
     assert (ai == bi).all()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n != "stark" else pytest.param(
+            n,
+            marks=pytest.mark.slow,  # interpret-mode pallas + the nl=8
+            # epilogue chains are slow on CPU; covered by -m slow / TPU legs
+        )
+        for n in RINGS
+    ],
+)
+def test_crt_pallas_fused(name):
+    """The fused Pallas crt/icrt (rings/pallas_crt.py) must be bit-identical
+    to the conv path, including the padded tail of a non-block-multiple N."""
+    import jax.numpy as jnp
+
+    from latticefold_tpu.rings import pallas_crt
+
+    ring = get_ring(name)
+    if not pallas_crt.supported(ring):
+        pytest.skip("ring outside the fused-kernel VMEM envelope")
+    rng = np.random.default_rng(13)
+    N = 1093  # not a multiple of the kernel block: exercises pad + slice
+    R = 1 << (32 * ring.nl)
+    vals = rng.integers(0, 1 << 63, size=(N, ring.d), dtype=np.uint64).astype(object)
+    vals %= ring.q
+    mont = np.vectorize(lambda v: int(v) * R % ring.q, otypes=[object])(vals)
+    coeffs = jnp.asarray(ring.fq.encode(mont))
+    a = np.asarray(pallas_crt.crt(ring, coeffs))
+    b = np.asarray(rops.crt_conv(ring, coeffs))
+    assert (a == b).all()
+    x = rops.crt_conv(ring, coeffs)
+    ai = np.asarray(pallas_crt.icrt(ring, x))
+    bi = np.asarray(rops.icrt_conv(ring, x))
+    assert (ai == bi).all()
