@@ -180,12 +180,17 @@ def trace_prove(sp, mles, nvars: int, degree: int, comb: CombFn, consts=()):
     evs_list, chal_list = [], []
     for _ in range(n_unroll):
         evs = _round_evs(ring, comb, degree, cur, consts)
-        # barrier: without it XLA (observed on the TPU backend, round 4 —
-        # same pathology class as the XLA:CPU scan-carry bug below) fuses the
-        # fold into the round-message computation and corrupts the next
-        # round's tables; the differential vs the per-round host prover
-        # caught round-1 divergence (tests/test_device_transcript.py)
-        cur, evs = jax.lax.optimization_barrier((cur, evs))
+        # Barrier on the round message ONLY. It still orders message-before-
+        # fold (the fold's challenge depends on the barriered evs through the
+        # sponge), which is what the XLA:CPU scan-carry hazard needs. Round
+        # 5 root-cause of the r4 "fused-sumcheck miscompile": putting the MLE
+        # TABLE itself through optimization_barrier is what corrupts the
+        # program on XLA:TPU — with barrier((cur, evs)) or separate barriers
+        # the round messages go wrong wherever the table hits [nm, 32, ...]
+        # (nvars=5 from round 0, nvars=8 from round 3); with an evs-only
+        # barrier or none at all, every round matches the host prover
+        # bit-exactly on silicon (see TPU_EVIDENCE_r05.md experiment grid).
+        evs = jax.lax.optimization_barrier(evs)
         sp.absorb_ring(evs)
         c = sp.get_challenge()
         sp.absorb_field_element(c)
@@ -206,12 +211,16 @@ def trace_prove(sp, mles, nvars: int, degree: int, comb: CombFn, consts=()):
             st, buf = carry
             spr = dtr.TraceSponge(ring, st, idx_round, True)
             evs = _round_evs(ring, comb, degree, buf, consts, mask)
-            # XLA:CPU miscompiles this scan without the barrier: the carry
+            # XLA:CPU miscompiles this scan without a barrier: the carry
             # buffer is updated in place by the fold while the round
             # message is still being read out of it (silent corruption at
-            # degree >= 3 — see tests/test_fusion_audit.py). The barrier
-            # forces the message to materialize before the fold writes.
-            buf, evs = jax.lax.optimization_barrier((buf, evs))
+            # degree >= 3 — see tests/test_fusion_audit.py). Barrier the
+            # MESSAGE only: the fold depends on it transitively (challenge
+            # <- sponge <- evs), which forces the message to materialize
+            # before the fold writes — and keeps the table out of the
+            # barrier, which XLA:TPU miscompiles (round-5 root cause; see
+            # the unrolled loop above and TPU_EVIDENCE_r05.md).
+            evs = jax.lax.optimization_barrier(evs)
             spr.absorb_ring(evs)
             c = spr.get_challenge()
             spr.absorb_field_element(c)
