@@ -159,12 +159,24 @@ def main():
     n_crt = coeffs.shape[0]
     crt_iters = 256 if on_tpu else 2
 
+    # production dispatch (rings/ops.py): fused Pallas conv+REDC kernel on
+    # TPU batches >= 512 (rings/pallas_crt.py, round 5), XLA conv path
+    # otherwise — recorded side-by-side with the XLA path it supersedes
+    import latticefold_tpu.rings.ops as rops_mod
+
     def crt_fn(c, acc):
+        cc = c ^ (acc & 1).astype(jnp.uint32)
+        return rops_mod.crt(ring, cc)
+
+    def crt_xla_fn(c, acc):
         cc = c ^ (acc & 1).astype(jnp.uint32)
         return mxu.crt(ring, cc)
 
     t, crt_raw = timed_loop(crt_fn, (coeffs,), crt_iters)
     crt_per = (t - disp) / crt_iters
+    if on_tpu:
+        t_x, _ = timed_loop(crt_xla_fn, (coeffs,), crt_iters)
+        big_metrics["crt_elements_per_s_xla_path"] = n_crt / ((t_x - disp) / crt_iters)
     tc, _ = timed_loop(lambda c, acc: c ^ (acc & 1).astype(jnp.uint32), (coeffs,), crt_iters)
     crt_copy_ms = (tc - disp) / crt_iters * 1e3
     crt_elems_per_s = n_crt / crt_per

@@ -6,7 +6,6 @@ truncating-cast plane build and the ones-row sW trick.
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time

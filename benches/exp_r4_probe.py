@@ -13,7 +13,6 @@ a small checksum output.
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-5 TPU bench grid (VERDICT r4 item 5): 4 rings x {commit, CRT,
+# lin/dec/fold subprotocols, e2e}, the LF+ sweep, and the multi-step IVC
+# chain. One phase at a time (the tunneled chip is shared); every line goes
+# to $OUT as JSON.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${OUT:-BENCH_GRID_r05.json.lines}
+WIT=${WIT:-4096}
+: > "$OUT"
+
+run() {
+  echo "# $(date +%H:%M:%S) $*" >&2
+  "$@" 2>>"$OUT.err" | tee -a "$OUT"
+}
+
+# 1. commit + CRT rows for all four rings (stark's first silicon rows)
+BENCH_WIT_LEN=$WIT BENCH_KAPPA=9 BENCH_ITERS=3 \
+  BENCH_PHASES=ajtai,crt BENCH_RINGS=goldilocks,babybear,frog,stark \
+  run python benches/run.py
+
+# 2. subprotocol + e2e rows, non-goldilocks breadth (goldilocks e2e grid
+#    already recorded at 2^15..2^20 by sweep_e2e)
+BENCH_WIT_LEN=$WIT BENCH_KAPPA=9 BENCH_ITERS=3 \
+  BENCH_PHASES=lin,dec,fold,e2e BENCH_RINGS=goldilocks,babybear,frog \
+  run python benches/run.py
+
+# 3. LatticeFold+ sweep (reference latticefold-plus benches, witness scaling)
+for N in 32768 65536 131072; do
+  BENCH_PHASES=plus BENCH_PLUS_N=$N BENCH_ITERS=2 run python benches/run.py
+done
+
+# 4. IVC chain (BASELINE config 2): 8 fold steps
+run python examples/e2e.py --wit-len "$WIT" --kappa 9 --steps 8

@@ -5,8 +5,8 @@ folding,e2e}.rs and the env-var filter system of benches/env.rs).
 Emits one JSON line per benchmark. Filters via env vars, with the
 reference's "if none set, all enabled" semantics (env.rs:41-98):
 
-  BENCH_RINGS=goldilocks,frog     ring filter
-  BENCH_PHASES=ajtai,lin,dec,fold,e2e
+  BENCH_RINGS=goldilocks,frog     ring filter (goldilocks/frog/babybear/stark)
+  BENCH_PHASES=ajtai,crt,lin,dec,fold,e2e,plus
   BENCH_ROLES=prover,verifier
   BENCH_WIT_LEN=512               witness length (default 512 cpu / 2^15 tpu)
   BENCH_KAPPA=4
@@ -37,10 +37,13 @@ def _emit(**kw):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', ".cache", "jax"))
+    _tag = "cpu" if jax.default_backend() == "cpu" else "tpu"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", f"jax-{_tag}"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    import jax.numpy as jnp
     import numpy as np
 
     import latticefold_tpu.nifs as nifs
@@ -72,11 +75,63 @@ def main():
             jax.block_until_ready(jax.tree.leaves(out)) if hasattr(jax, "tree") else None
         return (time.perf_counter() - t0) / reps
 
-    for ring_name in ("goldilocks", "frog", "babybear"):
+    for ring_name in ("goldilocks", "frog", "babybear", "stark"):
         if not _filter(ring_name, "BENCH_RINGS"):
             continue
         ring = get_ring(ring_name)
         dp = PRESETS[ring_name]
+
+        if _filter("ajtai", "BENCH_PHASES") and _filter("prover", "BENCH_ROLES"):
+            # standalone commit row (reference benches/ajtai.rs): scheme-width
+            # n matches the e2e fixture below (wit_len * L)
+            scheme_a = AjtaiScheme(ring, kappa, wit_len * dp.L, seed=7)
+            rng_a = np.random.default_rng(5)
+            f_a = jnp.asarray(
+                rng_a.integers(
+                    0, 1 << 31,
+                    size=(wit_len * dp.L, ring.ncomp, ring.e, ring.nl),
+                    dtype=np.uint64,
+                ).astype(np.uint32)
+            )
+            dt = timeit(lambda: np.asarray(scheme_a.commit_device(f_a)))
+            _emit(bench="ajtai_commit", ring=ring_name, n=wit_len * dp.L,
+                  kappa=kappa, seconds=dt, backend=backend)
+            del scheme_a, f_a
+
+        if _filter("crt", "BENCH_PHASES"):
+            # CRT/ICRT transform rows (reference build.rs:444-516 NTT benches)
+            import latticefold_tpu.rings.ops as ropsmod
+
+            n_crt = wit_len if on_tpu else max(wit_len // 4, 64)
+            rng_c = np.random.default_rng(6)
+            coeffs = jnp.asarray(
+                rng_c.integers(
+                    0, 1 << 31, size=(n_crt, ring.d, ring.nl), dtype=np.uint64
+                ).astype(np.uint32)
+            )
+            dt = timeit(lambda: np.asarray(ropsmod.crt(ring, coeffs))[:1])
+            _emit(bench="crt", ring=ring_name, n=n_crt, seconds=dt,
+                  elements_per_s=n_crt / dt, backend=backend)
+            ntt = ropsmod.crt(ring, coeffs)
+            dt = timeit(lambda: np.asarray(ropsmod.icrt(ring, ntt))[:1])
+            _emit(bench="icrt", ring=ring_name, n=n_crt, seconds=dt,
+                  elements_per_s=n_crt / dt, backend=backend)
+            del coeffs, ntt
+
+        protocol_phases = any(
+            _filter(p, "BENCH_PHASES") for p in ("lin", "dec", "fold", "e2e")
+        )
+        if not protocol_phases:
+            continue
+        if ring_name == "stark" and os.environ.get("BENCH_STARK_FULL", "") != "1":
+            # stark protocol fixtures run at DP_STARK's b=320 (degree-640
+            # folding sumcheck — infeasible; the reference #[ignore]s its own
+            # stark e2e). BENCH_STARK_FULL=1 opts in with DP_STARK_FOLDING.
+            continue
+        if ring_name == "stark":
+            from latticefold_tpu.params import DP_STARK_FOLDING
+
+            dp = DP_STARK_FOLDING
 
         r1cs = get_test_dummy_r1cs(ring, x_len, wit_len, x_len + wit_len + 1)
         ccs = CCS.from_r1cs_padded(ring, r1cs, W=x_len + wit_len + 1, L=dp.L)
@@ -88,11 +143,6 @@ def main():
         )
         cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
         acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
-
-        if _filter("ajtai", "BENCH_PHASES") and _filter("prover", "BENCH_ROLES"):
-            dt = timeit(lambda: np.asarray(scheme.commit_device(wit.f)))
-            _emit(bench="ajtai_commit", ring=ring_name, n=wit_len * dp.L,
-                  kappa=kappa, seconds=dt, backend=backend)
 
         if _filter("lin", "BENCH_PHASES"):
             if _filter("prover", "BENCH_ROLES"):
@@ -115,6 +165,43 @@ def main():
                 dt = timeit(lambda: decomposition.verify(acc, dec_proof, Transcript(ring), ccs, dp))
                 _emit(bench="decomposition_verify", ring=ring_name, K=dp.K,
                       seconds=dt, backend=backend)
+
+        if _filter("fold", "BENCH_PHASES"):
+            # folding subprotocol in isolation (reference benches/folding.rs):
+            # inputs prepared once by the same linearize -> decompose x2
+            # orchestration as nifs.prove, then folding.prove/verify timed
+            # with a fresh transcript per rep (deterministic challenges).
+            # folding.prove frees the decomposed witnesses' f_coeff, but the
+            # prover never reads f_coeff, so repeated calls are stable.
+            tr0 = Transcript(ring)
+            nifs.absorb_public_input(ring, acc, cm_i, tr0)
+            lin_cm_i, _ = linearization.prove(cm_i, wit, tr0, ccs)
+            z_l, lcccs_l, wit_l, _ = decomposition.prove(acc, wit, tr0, ccs, scheme, dp)
+            z_r, lcccs_r, wit_r, _ = decomposition.prove(lin_cm_i, wit, tr0, ccs, scheme, dp)
+            lcccs_s, wit_s, z_s = lcccs_l + lcccs_r, wit_l + wit_r, z_l + z_r
+            tr_state = tr0.snapshot_state()
+
+            def fresh_tr():
+                # restore the exact sponge state folding starts from
+                t = Transcript(ring)
+                t.restore_state(*tr_state)
+                return t
+
+            if _filter("prover", "BENCH_ROLES"):
+                dt = timeit(
+                    lambda: folding.prove(lcccs_s, wit_s, fresh_tr(), ccs, dp, z_s),
+                    warm=1, reps=max(1, iters // 2),
+                )
+                _emit(bench="folding_prove", ring=ring_name, m=ccs.m, K=dp.K,
+                      seconds=dt, backend=backend)
+            _, _, fold_proof = folding.prove(lcccs_s, wit_s, fresh_tr(), ccs, dp, z_s)
+            if _filter("verifier", "BENCH_ROLES"):
+                dt = timeit(
+                    lambda: folding.verify(lcccs_s, fold_proof, fresh_tr(), ccs, dp)
+                )
+                _emit(bench="folding_verify", ring=ring_name, m=ccs.m, K=dp.K,
+                      seconds=dt, backend=backend)
+            del wit_l, wit_r, wit_s, z_l, z_r, z_s
 
         if _filter("e2e", "BENCH_PHASES"):
             if _filter("prover", "BENCH_ROLES"):

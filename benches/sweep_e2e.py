@@ -65,76 +65,142 @@ def main():
     dev = jax.local_devices()[0]
 
     def peak_mb():
+        """Device-memory figure for the grid row.
+
+        memory_stats() is empty over the tunneled axon backend (r4 rows all
+        carried null); fall back to summing jax.live_arrays() bytes — that is
+        LIVE bytes at sample time, not a true allocator peak, so the key is
+        labeled accordingly by the caller.
+        """
         try:
             st = dev.memory_stats()
-            return round(st.get("peak_bytes_in_use", 0) / 1e6)
+            if st:
+                return round(st.get("peak_bytes_in_use", 0) / 1e6)
+        except Exception:
+            pass
+        try:
+            return round(
+                sum(a.nbytes for a in jax.live_arrays() if a.device == dev) / 1e6
+            )
         except Exception:
             return None
+
+    def probe_dispatch_ms(n=5):
+        """Pre-flight contention probe: trivial-op dispatch latency (ms).
+
+        On a quiet tunneled chip this is <1 ms; a competing session's queue
+        shows up as tens of ms (r4 playbook). Recorded per grid row so noisy
+        rows are identifiable."""
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda a: a + 1)
+        x = jnp.ones((8, 8), jnp.uint32)
+        f(x).block_until_ready()
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f(x).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts) * 1e3, 2)
 
     def log(msg):
         print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
+    out = os.environ.get("SWEEP_OUT")
+
+    def flush_results(results):
+        if out:
+            with open(out, "w") as fh:
+                json.dump(results, fh, indent=1)
+                fh.write("\n")
+
     results = []
     for wit_len in wit_lens:
-        log(f"wit_len={wit_len}: setup")
-        t_setup0 = time.perf_counter()
-        r1cs = get_test_dummy_r1cs(ring, x_len, wit_len, x_len + wit_len + 1)
-        ccs = CCS.from_r1cs_padded(ring, r1cs, W=x_len + wit_len + 1, L=dp.L)
-        w_host = [ring.one()] * wit_len
-        x_ccs = [ring.one()] * x_len
-        scheme = AjtaiScheme(ring, kappa, wit_len * dp.L, seed=7)
-        wit = Witness.from_w_ccs(ring, dp, rops.to_device(ring, w_host), n_pad=ccs.m)
-        log(f"wit_len={wit_len}: witness/scheme built, committing")
-        cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
-        log(f"wit_len={wit_len}: bootstrap linearization")
-        acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
-        setup_s = time.perf_counter() - t_setup0
-
-        # warm (compile) + timed reps
-        times_p, times_v = [], []
-        proof = None
-        for i in range(reps + 1):
-            log(f"wit_len={wit_len}: prove rep {i}")
-            t0 = time.perf_counter()
-            folded, w0, proof = nifs.prove(
-                acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp
+        try:
+            row = run_size(
+                wit_len, jax, np, nifs, linearization, rops, CCS, CCCS,
+                get_test_dummy_r1cs, Witness, AjtaiScheme, DP_GOLDILOCKS,
+                get_ring, Transcript, kappa, reps, x_len, peak_mb,
+                probe_dispatch_ms, log,
             )
-            jax.block_until_ready(w0.f)
-            dt = time.perf_counter() - t0
-            if i > 0:
-                times_p.append(dt)
-            else:
-                compile_s = dt
-            t0 = time.perf_counter()
-            nifs.verify(acc, cm_i, proof, Transcript(ring), ccs, dp)
-            if i > 0:
-                times_v.append(time.perf_counter() - t0)
-
-        row = {
-            "bench": "nifs_e2e_fold",
-            "ring": "goldilocks",
-            "wit_len": wit_len,
-            "m": ccs.m,
-            "K": dp.K,
-            "kappa": kappa,
-            "prove_s": round(min(times_p), 3),
-            "prove_s_all": [round(t, 3) for t in times_p],
-            "first_run_incl_compile_s": round(compile_s, 1),
-            "verify_s": round(min(times_v), 3),
-            "setup_s": round(setup_s, 1),
-            "peak_device_mb": peak_mb(),
-            "backend": jax.default_backend(),
-        }
+        except Exception as e:  # noqa: BLE001 — a 2^20 OOM must not lose 2^19 rows
+            log(f"wit_len={wit_len}: FAILED: {type(e).__name__}: {e}")
+            row = {
+                "bench": "nifs_e2e_fold",
+                "ring": "goldilocks",
+                "wit_len": wit_len,
+                "error": f"{type(e).__name__}: {str(e)[:500]}",
+            }
         print(json.dumps(row), flush=True)
         results.append(row)
-        # free per-size buffers before the next, bigger size
-        del wit, cm_i, acc, proof, scheme, ccs, r1cs
+        flush_results(results)
 
-    out = os.environ.get("SWEEP_OUT")
-    if out:
-        with open(out, "w") as fh:
-            json.dump(results, fh, indent=1)
-            fh.write("\n")
+
+def run_size(wit_len, jax, np, nifs, linearization, rops, CCS, CCCS,
+             get_test_dummy_r1cs, Witness, AjtaiScheme, dp, get_ring,
+             Transcript, kappa, reps, x_len, peak_mb, probe_dispatch_ms, log):
+    import time
+
+    ring = get_ring("goldilocks")
+    probe0 = probe_dispatch_ms()
+    log(f"wit_len={wit_len}: setup (probe {probe0} ms)")
+    t_setup0 = time.perf_counter()
+    r1cs = get_test_dummy_r1cs(ring, x_len, wit_len, x_len + wit_len + 1)
+    ccs = CCS.from_r1cs_padded(ring, r1cs, W=x_len + wit_len + 1, L=dp.L)
+    w_host = [ring.one()] * wit_len
+    x_ccs = [ring.one()] * x_len
+    scheme = AjtaiScheme(ring, kappa, wit_len * dp.L, seed=7)
+    wit = Witness.from_w_ccs(ring, dp, rops.to_device(ring, w_host), n_pad=ccs.m)
+    log(f"wit_len={wit_len}: witness/scheme built, committing")
+    cm_i = CCCS(cm=wit.commit(scheme), x_ccs=x_ccs)
+    log(f"wit_len={wit_len}: bootstrap linearization")
+    acc, _ = linearization.prove(cm_i, wit, Transcript(ring), ccs)
+    setup_s = time.perf_counter() - t_setup0
+
+    # warm (compile) + timed reps; live-MB sampled right after the first
+    # timed prove, while the folded witness + inputs are all still resident
+    times_p, times_v = [], []
+    proof = None
+    live_mb = None
+    for i in range(reps + 1):
+        log(f"wit_len={wit_len}: prove rep {i}")
+        t0 = time.perf_counter()
+        folded, w0, proof = nifs.prove(
+            acc, wit, cm_i, wit, Transcript(ring), ccs, scheme, dp
+        )
+        jax.block_until_ready(w0.f)
+        dt = time.perf_counter() - t0
+        if i > 0:
+            times_p.append(dt)
+        else:
+            compile_s = dt
+            live_mb = peak_mb()
+        t0 = time.perf_counter()
+        nifs.verify(acc, cm_i, proof, Transcript(ring), ccs, dp)
+        if i > 0:
+            times_v.append(time.perf_counter() - t0)
+
+    return {
+        "bench": "nifs_e2e_fold",
+        "ring": "goldilocks",
+        "wit_len": wit_len,
+        "m": ccs.m,
+        "K": dp.K,
+        "kappa": kappa,
+        "prove_s": round(min(times_p), 3),
+        "prove_s_all": [round(t, 3) for t in times_p],
+        "first_run_incl_compile_s": round(compile_s, 1),
+        "verify_s": round(min(times_v), 3),
+        "verify_s_all": [round(t, 3) for t in times_v],
+        "setup_s": round(setup_s, 1),
+        # live jax arrays after prove (allocator peak unavailable over the
+        # tunneled backend — see peak_mb docstring); sampled post-prove with
+        # inputs + folded outputs resident
+        "live_device_mb_after_prove": live_mb,
+        "peak_device_mb": None,
+        "probe_dispatch_ms": probe0,
+        "backend": jax.default_backend(),
+    }
 
 
 if __name__ == "__main__":

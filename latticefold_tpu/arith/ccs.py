@@ -10,12 +10,9 @@ evaluation claims) are small host ring elements.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field as dfield
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
-import numpy as np
-
-from ..rings import ops as rops
 from ..rings.construct import Ring
 from .sparse import SparseMatrix
 

@@ -25,7 +25,6 @@ import numpy as np
 
 from .. import modops as mo
 from ..params import DecompositionParams
-from ..poly import mle as mlemod
 from ..rings import ops as rops
 from ..rings.construct import Ring
 

@@ -26,6 +26,8 @@ from .multihost import (  # noqa: F401
     sharded_sumcheck_round_2d,
 )
 from .protocol import (  # noqa: F401
+    ShardingFallbackError,
+    assert_distributed,
     prove_sharded,
     shard_scheme,
     shard_witness,

@@ -13,13 +13,12 @@ Sharding layout (ARCHITECTURE.md §4 + SURVEY.md §5.7-5.8 TPU translation):
 from __future__ import annotations
 
 import functools
-from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import modops as mo
 from ..poly import mle as mlemod

@@ -33,7 +33,6 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .. import modops as mo
 from ..poly import mle as mlemod
 from ..rings import ops as rops
 from ..rings.construct import Ring
@@ -80,14 +79,27 @@ def make_hybrid_mesh(ici_axis: str = "ici", dcn_axis: str = "dcn") -> Mesh:
     n_local = jax.local_device_count()
     if n_proc > 1:
         devs = jax.devices()
-        if len({getattr(d, "slice_index", 0) for d in devs}) == n_proc:
-            # real TPU pod: slice structure present, use the ICI-aware builder
-            from jax.experimental import mesh_utils
+        # DCN boundaries are SLICES, not processes (ADVICE r4): a multi-host
+        # single-slice pod has every device on one ICI domain (dcn axis 1),
+        # and a multi-process-per-slice topology has fewer slices than
+        # processes. Group by slice_index when the runtime exposes it; fall
+        # back to process grouping only when it's absent (CPU simulation).
+        slice_ids = sorted({getattr(d, "slice_index", None) for d in devs},
+                           key=lambda s: (s is None, s))
+        if slice_ids != [None]:
+            n_slices = len(slice_ids)
+            per_slice = len(devs) // n_slices
+            if n_slices > 1:
+                # real multi-slice pod: ICI-aware ordering within each slice
+                from jax.experimental import mesh_utils
 
-            devices = mesh_utils.create_hybrid_device_mesh(
-                mesh_shape=(1, n_local),
-                dcn_mesh_shape=(n_proc, 1),
-            )
+                devices = mesh_utils.create_hybrid_device_mesh(
+                    mesh_shape=(1, per_slice),
+                    dcn_mesh_shape=(n_slices, 1),
+                )
+            else:
+                # multi-host single slice: one ICI domain, dcn axis of 1
+                devices = np.array(devs).reshape(1, len(devs))
         else:
             # multi-process CPU simulation (tests): no slice indices — group
             # rows by owning process, which is the DCN structure by definition

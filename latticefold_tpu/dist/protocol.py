@@ -20,6 +20,8 @@ TPU translation this layer distributes.
 from __future__ import annotations
 
 import dataclasses
+import os
+import warnings
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -27,17 +29,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..arith.witness import Witness
 
 
-def _shard(mesh: Mesh, arr, axis: int):
-    """Place ``arr`` sharded along ``axis`` of the mesh's x dimension; falls
-    back to replication if the axis doesn't divide evenly."""
+class ShardingFallbackError(RuntimeError):
+    """Raised under LF_TPU_DIST_STRICT=1 when an array silently replicates."""
+
+
+def _shard(mesh: Mesh, arr, axis: int, label: str = "?"):
+    """Place ``arr`` sharded along ``axis`` of the mesh's x dimension.
+
+    If the axis doesn't divide the device count the array is REPLICATED
+    instead — loudly: a UserWarning names the array so a shape regression
+    can't silently degrade the run to "distributed in name only", and
+    LF_TPU_DIST_STRICT=1 turns the fallback into an error (the test tier and
+    dryrun_multichip run strict)."""
     if arr is None:
         return None
     n_dev = mesh.devices.size
     if arr.shape[axis] % n_dev:
+        msg = (
+            f"dist: {label} axis {axis} (len {arr.shape[axis]}) does not "
+            f"divide the {n_dev}-device mesh; REPLICATING"
+        )
+        if os.environ.get("LF_TPU_DIST_STRICT", "") == "1":
+            raise ShardingFallbackError(msg)
+        warnings.warn(msg, stacklevel=2)
         return jax.device_put(arr, NamedSharding(mesh, P()))
     spec = [None] * arr.ndim
     spec[axis] = "x"
     return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+
+def assert_distributed(arr, mesh: Mesh, label: str = "?"):
+    """Post-placement check that ``arr`` is actually distributed: its shards
+    live on every mesh device and each holds 1/n_dev of the elements."""
+    n_dev = mesh.devices.size
+    if len(arr.sharding.device_set) != n_dev:
+        raise AssertionError(f"{label}: on {len(arr.sharding.device_set)} devices, want {n_dev}")
+    shard0 = arr.addressable_shards[0].data
+    if shard0.size * n_dev != arr.size:
+        raise AssertionError(
+            f"{label}: shard holds {shard0.size} of {arr.size} elements "
+            f"(replicated or partially sharded)"
+        )
 
 
 def shard_witness(mesh: Mesh, wit: Witness) -> Witness:
@@ -45,10 +77,10 @@ def shard_witness(mesh: Mesh, wit: Witness) -> Witness:
     f_hat rows on the hypercube axis, w_ccs on the witness axis."""
     return dataclasses.replace(
         wit,
-        f=_shard(mesh, wit.f, 0),
-        f_coeff=_shard(mesh, wit.f_coeff, 0),
-        f_hat=_shard(mesh, wit.f_hat, 1),
-        w_ccs=_shard(mesh, wit.w_ccs, 0),
+        f=_shard(mesh, wit.f, 0, "witness.f"),
+        f_coeff=_shard(mesh, wit.f_coeff, 0, "witness.f_coeff"),
+        f_hat=_shard(mesh, wit.f_hat, 1, "witness.f_hat"),
+        w_ccs=_shard(mesh, wit.w_ccs, 0, "witness.w_ccs"),
     )
 
 
@@ -58,7 +90,7 @@ def shard_scheme(mesh: Mesh, scheme):
     The commit contraction then runs column-blocked per device with XLA
     combining the partial sums (matches dist/mesh.py:sharded_commit's manual
     shard_map formulation, but through the production commit kernels)."""
-    scheme.matrix = _shard(mesh, scheme.matrix, 1)
+    scheme.matrix = _shard(mesh, scheme.matrix, 1, "ajtai.matrix")
     # drop cached precomputes so they re-derive from the sharded matrix
     scheme.__dict__.pop("_mxu_planes", None)
     scheme.__dict__.pop("_fused_planes", None)

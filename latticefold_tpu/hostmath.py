@@ -10,7 +10,7 @@ reconstructed from use-sites (SURVEY.md §2.6).
 from __future__ import annotations
 
 import random
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 # ---------------------------------------------------------------------------
 # F_q[t] polynomial helpers (coefficient lists, low to high, trimmed)

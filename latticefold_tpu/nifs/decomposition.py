@@ -16,7 +16,6 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import modops as mo
 from ..arith.ccs import CCS, Commitment, LCCCS

@@ -318,14 +318,36 @@ def _eta_dots(ring: Ring, z_all, wT):
     return jnp.stack(outs, axis=1)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fold_witnesses_stream(ring: Ring, f_all, rhos):
+    """Streaming rho-fold: one [NL, ...] row live at a time (fori_loop).
+
+    The materialized-product form below doubles the arena (another ~3.8 GB
+    at m=2^20) right at the prover's peak; this form's transient is one row
+    + the accumulator. Mod-q addition is exact and associative, so the
+    sequential sum equals the tree sum bit-for-bit (proof bytes unchanged).
+    """
+
+    def body(i, acc):
+        row = jax.lax.dynamic_index_in_dim(f_all, i, axis=0, keepdims=False)
+        rho = jax.lax.dynamic_index_in_dim(rhos, i, axis=0, keepdims=False)
+        return rops.ring_add(ring, acc, rops.ring_mul(ring, row, rho))
+
+    acc0 = jnp.zeros(f_all.shape[1:], jnp.uint32)
+    return jax.lax.fori_loop(0, f_all.shape[0], body, acc0)
+
+
 def fold_witnesses(ring: Ring, f_all, rhos):
     """f_0 = sum_i rho_i * f_i; f_all [2K, NL, ...], rhos [2K, ncomp, e, nl].
 
-    Deliberately NOT fused into one jit: XLA:CPU 0.9.0 miscompiles programs
-    that slice-and-add along an axis where a multiply operand was broadcast
+    TPU: streaming fori_loop (see _fold_witnesses_stream). CPU: deliberately
+    NOT fused into one jit: XLA:CPU 0.9.0 miscompiles programs that
+    slice-and-add along an axis where a multiply operand was broadcast
     (here rho's witness axis) — see tests/test_fusion_audit.py. Two jitted
     stages (the mul kernel, then the tree-sum kernel) compile correctly.
     """
+    if jax.default_backend() != "cpu":
+        return _fold_witnesses_stream(ring, f_all, rhos)
     prod = rops.ring_mul(ring, f_all, rhos[:, None])
     return rops.ring_sum(ring, prod, 0)
 
@@ -409,7 +431,14 @@ def prove(
     decomposition calls; Mz values are streamed from them (one SpMV batch per
     CCS matrix) rather than passed as materialized MLE tables. ``arena``:
     big-m shared-buffer mode — f_hat/f come pre-stacked from the
-    decomposition fills (no 2x stack transient; see decomposition.py)."""
+    decomposition fills (no 2x stack transient; see decomposition.py).
+
+    Ownership (ADVICE r4): ``w_s`` is CONSUMED — each witness's dead
+    ``f_coeff`` table is freed on entry (multi-GB at big m). The NIFS
+    orchestrator always passes decomposition-created witnesses, but a direct
+    caller keeping references to ``w_s`` must treat them as spent (``f`` and
+    ``f_hat`` remain valid; ``f_coeff`` re-derives via icrt of ``f`` if
+    needed)."""
     ring = ccs.ring
     ccs.sanity_check(dp.L)
     if len(cm_i_s) != 2 * dp.K:

@@ -28,7 +28,7 @@ reference has the same restriction de facto (all plus tests use frog).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

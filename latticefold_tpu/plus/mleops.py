@@ -9,7 +9,7 @@ scaling (no extension arithmetic).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

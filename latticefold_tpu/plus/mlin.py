@@ -18,9 +18,8 @@ import jax.numpy as jnp
 from ..arith.sparse import SparseMatrix
 from ..commitment import AjtaiScheme
 from ..rings import ops as rops
-from ..rings.construct import Ring
 from . import coeffring as cr
-from .cm import Com, CmProof, cm_prove
+from .cm import CmProof, cm_prove
 from .rgchk import DecompParameters, Rg, RgInstance
 from .transcript import PlusTranscript
 

@@ -14,7 +14,6 @@ from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from .. import modops as mo
 from ..arith.sparse import SparseMatrix

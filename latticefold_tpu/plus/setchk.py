@@ -20,7 +20,6 @@ import functools
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

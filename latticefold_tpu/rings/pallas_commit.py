@@ -34,6 +34,7 @@ Semantics parity: AjtaiCommitmentScheme::commit_ntt
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -113,16 +114,22 @@ def _dot_kernel(a_ref, w_ref, p_ref):
 
 
 def _pick_kb(ks: int, L: int, mpad: int) -> int:
-    """Largest K block dividing ``ks`` with the witness block capped at
-    ~1.6 MB (empirically validated VMEM envelope: kb=4096 at L=96 and
-    kb=1024 at L=384 both compile and run; the kernel is DMA-bound so the
-    exact block size barely moves throughput)."""
-    for kb in (4096, 2048, 1024, 512, 256):
-        if ks % kb:
-            continue
-        if kb * L * 4 <= (1 << 20) + (1 << 19):
+    """Largest K block with the witness block capped at ~1.6 MB (empirically
+    validated VMEM envelope: kb=4096 at L=96 and kb=1024 at L=384 both
+    compile and run; the kernel is DMA-bound so the exact block size barely
+    moves throughput). Prefers a block dividing ``ks``; otherwise the caller
+    zero-pads the contraction up to a block multiple (padded lhs columns are
+    zero, so their products vanish and the true-ks corrections stay exact) —
+    never an unbounded single block (ADVICE r4: a non-divisible slice with
+    large L must not exceed VMEM)."""
+    fits = [kb for kb in (4096, 2048, 1024, 512, 256)
+            if kb * L * 4 <= (1 << 20) + (1 << 19)]
+    if not fits:  # enormous L: smallest aligned block is the best we can do
+        return 256
+    for kb in fits:
+        if ks % kb == 0:
             return kb
-    return ks  # no aligned divisor (tiny/odd shapes): single block
+    return ks if ks <= fits[0] else fits[0]  # tiny slice: single block; else pad
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -149,6 +156,88 @@ def _fused_slice(ring: Ring, lhs_slice, w_slice, kb: int):
     return p
 
 
+def _pick_keb(ke: int, da: int, enb: int) -> int:
+    """Largest divisor of ke keeping the two [DA*4nl, keb, eNb] u32 input
+    blocks inside ~8 MB of VMEM (half the chip's 16 MB, leaving room for the
+    ~npos position/limb temps, each [keb, eNb])."""
+    budget = 8 << 20
+    best = 1
+    for keb in range(1, ke + 1):
+        if ke % keb:
+            continue
+        if 2 * da * da * keb * enb * 4 <= budget:
+            best = keb
+    return best
+
+
+def _epilogue_supported(ring: Ring, enb: int) -> bool:
+    da = 4 * ring.nl
+    # need at least keb=1 to fit; stark (da=32) at large eNb falls back
+    return 2 * da * da * 1 * enb * 4 <= (8 << 20)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _epilogue_fused(ring: Ring, acc_lo, acc_hi):
+    """Fused commit epilogue: position grouping + base-256 carry + wide REDC
+    as ONE Pallas program (the XLA form is ~hundreds of small kernels over
+    [c, ke, eNb] slabs and dominates the commit at batch >= 64 — measured
+    round 4: b64 landed BELOW b16 per-commit because of it).
+
+    acc_lo/acc_hi: [c, rows, 4L] u32 accumulated (lo16, hi16) corrected
+    plane products (rows = ke*DA ke-major, cols byte-major bp*L + o*nl + lp).
+    Returns P [c, ke, eNb, nl] Montgomery-reduced limbs (same value as
+    mxu._carry_pack + _redc_wide on the position-grouped planes).
+    """
+    from .pallas_crt import _redc_wide_list
+
+    m, nl = ring.fq, ring.nl
+    da = 4 * nl
+    c, rows, fourL = acc_lo.shape
+    ke = rows // da
+    enb = fourL // da
+    S = 2 * da - 1
+    npos = 4 * (2 * nl + 1)
+
+    def reorder(a):
+        # [c, ke, DA(i), 4(bp), eNb, nl(lp)] -> [c, (i, lp, bp), ke, eNb]
+        a6 = a.reshape(c, ke, da, 4, enb, nl)
+        return jnp.transpose(a6, (0, 2, 5, 3, 1, 4)).reshape(c, da * nl * 4, ke, enb)
+
+    lo_r, hi_r = reorder(acc_lo), reorder(acc_hi)
+    keb = _pick_keb(ke, da, enb)
+
+    def kernel(lo_ref, hi_ref, o_ref):
+        zero = jnp.zeros((keb, enb), jnp.uint32)
+        u = [zero] * npos
+        for i in range(da):
+            for lp in range(nl):
+                for bp in range(4):
+                    idx = (i * nl + lp) * 4 + bp
+                    s = i + lp * 4 + bp
+                    u[s] = u[s] + lo_ref[0, idx]
+                    u[s + 2] = u[s + 2] + hi_ref[0, idx]
+        t_limbs = mxu._carry_pack(u, 2 * nl + 1)
+        limbs = _redc_wide_list(m, t_limbs)  # nl x [keb, eNb]
+        for lp in range(nl):
+            o_ref[0, lp] = limbs[lp]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(c, ke // keb),
+        in_specs=[
+            pl.BlockSpec((1, da * nl * 4, keb, enb), lambda ci, ki: (ci, 0, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, da * nl * 4, keb, enb), lambda ci, ki: (ci, 0, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nl, keb, enb), lambda ci, ki: (ci, 0, ki, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, nl, ke, enb), jnp.uint32),
+        interpret=jax.default_backend() == "cpu",
+    )(lo_r, hi_r)
+    return jnp.transpose(out, (0, 2, 3, 1))  # [c, ke, eNb, nl]
+
+
 def ajtai_commit_fused(ring: Ring, pre: FusedPlanes, fcm):
     """Fused-commit drop-in for mxu.ajtai_commit_cm (bit-identical output).
 
@@ -173,7 +262,15 @@ def _commit_fused(ring: Ring, rows: int, lhs_i8, sM, fcm):
         lo_k, hi_k = si * _K_SLICE, min(n, (si + 1) * _K_SLICE)
         ks = hi_k - lo_k
         kb = _pick_kb(ks, L, mpad)
-        p = _fused_slice(ring, lhs_i8[:, :, lo_k:hi_k], w2d[:, lo_k:hi_k], kb)
+        lhs_s, w_s = lhs_i8[:, :, lo_k:hi_k], w2d[:, lo_k:hi_k]
+        if ks % kb:
+            # zero-pad to a block multiple: padded lhs columns are zero i8,
+            # so every padded product term vanishes (including the ones row's
+            # colsum contribution); corrections below use the TRUE ks
+            pad = kb - ks % kb
+            lhs_s = jnp.pad(lhs_s, ((0, 0), (0, 0), (0, pad)))
+            w_s = jnp.pad(w_s, ((0, 0), (0, pad), (0, 0)))
+        p = _fused_slice(ring, lhs_s, w_s, kb)
         sw = p[:, rows, :]  # ones-row output = colsum(W_i8), exact
         # unsigned-plane corrections for this slice (exact, < 2^31);
         # padded lhs rows are dropped here — their corrections are garbage
@@ -187,13 +284,22 @@ def _commit_fused(ring: Ring, rows: int, lhs_i8, sM, fcm):
         acc_lo = plo if acc_lo is None else acc_lo + plo
         acc_hi = phi if acc_hi is None else acc_hi + phi
 
-    # Group plane products by byte position s = i + j without a full
-    # relayout (a 6D transpose here measured ~1.4 ms at b64; per-(i,j)
-    # minor-dim slicing measured worse — both are gather-grade on TPU).
-    # Column order from the kernel is byte-major: col = b'*L + (o*nl + l'),
-    # significance j = l'*4 + b'. Extract the 4*nl (b', l') column planes
-    # once (one mid-axis slice + one minor slice each — 4nl medium copies),
-    # then the 64 position adds slice only the cheap row-side DA axis.
+    kappa = rows // (4 * nl * e)
+    if _epilogue_supported(ring, e * Nb) and os.environ.get(
+        "LF_TPU_COMMIT_EPILOGUE", "fused"
+    ) != "xla":
+        P = _epilogue_fused(ring, acc_lo, acc_hi)  # [c, ke, eNb, nl] mont
+        return mxu._ext_fold(ring, P, kappa, Nb)
+
+    # XLA fallback epilogue (large-ring shapes whose slabs exceed the fused
+    # kernel's VMEM envelope, or LF_TPU_COMMIT_EPILOGUE=xla): group plane
+    # products by byte position s = i + j without a full relayout (a 6D
+    # transpose here measured ~1.4 ms at b64; per-(i,j) minor-dim slicing
+    # measured worse — both are gather-grade on TPU). Column order from the
+    # kernel is byte-major: col = b'*L + (o*nl + l'), significance
+    # j = l'*4 + b'. Extract the 4*nl (b', l') column planes once (one
+    # mid-axis slice + one minor slice each — 4nl medium copies), then the
+    # 64 position adds slice only the cheap row-side DA axis.
     #   rows r = ke_i*DA + i with i = limb*4 + byte (matrix planes)
     def view6(x):
         return x.reshape(c, rows // da, da, 4, e * Nb, nl)
@@ -228,7 +334,6 @@ def _commit_fused(ring: Ring, rows: int, lhs_i8, sM, fcm):
         u.append(v)
     t_limbs = mxu._carry_pack(u, 2 * nl + 1)
     P = mxu._redc_wide(ring.fq, t_limbs)  # [c, kappa*e, e*Nb, nl] mont
-    kappa = rows // (da * e)
     return mxu._ext_fold(ring, P, kappa, Nb)
 
 

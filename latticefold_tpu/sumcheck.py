@@ -16,6 +16,7 @@ combined values mod q.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Callable, List, Sequence
 
@@ -318,20 +319,23 @@ def prove(
     Tests that target the device-transcript machinery itself call
     ``prove_device`` directly.
 
-    Default on ALL backends is now the per-round host-transcript path.
-    Round 4's new TPU-backend test leg exposed that the whole-sumcheck
-    device-transcript program produces WRONG round messages on the current
-    tunneled TPU backend for goldilocks (frog passes; deterministic;
-    divergence from round 1; reproduced with the lax.scan tail fully
-    unrolled, so it is not the scan-carry pathology — an XLA:TPU
-    fusion/scheduling miscompile inside the fused trace is suspected;
-    reproducer: tests/test_device_transcript.py::
-    test_device_sumcheck_matches_host_prover under LF_TPU_TEST_BACKEND=tpu).
-    Until root-caused, the single-dispatch path is opt-in via
-    LF_TPU_SUMCHECK=device and must only be used where its differential
-    passes. The per-round path costs ~3 host syncs/round (~75 ms over the
-    tunnel) — noise at production table sizes — and its giant-program
-    compile pathology is also avoided (>30 min remote compiles at m=2^15).
+    Default on ALL backends is the per-round host-transcript path; the
+    single-dispatch device path is opt-in via LF_TPU_SUMCHECK=device.
+
+    History: round 4's TPU test leg found the device path returning wrong
+    round messages on silicon and quarantined it. Round 5 bisection
+    (TPU_EVIDENCE_r05.md) root-caused the corruption to round 4's OWN
+    defensive workaround — passing the u32 MLE table through
+    jax.lax.optimization_barrier made XLA:TPU materialize it in a layout the
+    round-message/fold fusion misread once the table hit [.., 32, ..].
+    trace_prove now barriers the round MESSAGE only (which still enforces
+    message-before-fold ordering for the XLA:CPU scan-aliasing hazard), and
+    the full device-vs-host differentials pass on silicon again (7/7,
+    tests/test_device_transcript.py under LF_TPU_TEST_BACKEND=tpu). The
+    default stays per-round by MEASUREMENT, not quarantine: ~3 host
+    syncs/round (~75 ms over the tunnel) is noise at production table
+    sizes, and the whole-sumcheck program's giant-trace remote compiles
+    (>30 min at m=2^15) are avoided.
     """
     import os as _os
 
@@ -511,19 +515,38 @@ def _bigm_round_fn(comb: CombFn, degree: int, j: int, n_chunks: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0,))
+def _bigm_expand_jit(ring: Ring, sub, W):
+    """One jitted program for the round-J expansion contraction.
+
+    Root cause of the round-5 2^19 OOM (instrumented run, 2026-08-22): the
+    previous EAGER python loop dispatched 2^J (=64) mont_mul+add step
+    programs asynchronously — on TPU every queued program's output and
+    temps are allocated at ENQUEUE time, so the whole loop's ~141 MB-scale
+    transients were resident simultaneously (several GB on top of the
+    7.9 GB live set). A fori_loop inside one jit bounds the live set to one
+    term + the accumulator, and the y-ascending order keeps the modular sums
+    (hence proof bytes) bit-identical."""
+    m = ring.fq
+
+    def body(y, acc):
+        sl = jax.lax.dynamic_index_in_dim(sub, y, axis=2, keepdims=False)
+        term = mo.mont_mul(m, sl[:, :, :, None, :], W[y])
+        return mo.add(m, acc, term)
+
+    out_shape = sub.shape[:2] + (ring.ncomp, ring.e, ring.nl)
+    return jax.lax.fori_loop(
+        0, sub.shape[2], body, jnp.zeros(out_shape, jnp.uint32)
+    )
+
+
 def _bigm_expand(ring: Ring, fhat5, j: int, W):
     """Materialize the round-J folded f-hat tables in full K form:
     out[x] = sum_y W[y] * orig[x*2^J + y];  [nf, S, c, e, nl]."""
-    m = ring.fq
     nf = fhat5.shape[0] * fhat5.shape[1]
     tot = fhat5.shape[2]
     sub = fhat5.reshape((nf, tot >> j, 1 << j) + fhat5.shape[3:])
-    out = None
-    for y in range(1 << j):
-        term = mo.mont_mul(m, sub[:, :, y, :, None, :], W[y])
-        out = term if out is None else mo.add(m, out, term)
-    return out
+    return _bigm_expand_jit(ring, sub, W)
 
 
 def prove_host_bigm(
@@ -559,6 +582,23 @@ def prove_host_bigm(
     assert full5.shape[1] == 1 << nvars and fhat_box[0].shape[2] == 1 << nvars
     transcript.absorb(ring.embed_int(nvars))
     transcript.absorb(ring.embed_int(degree))
+    chunk_pairs = int(os.environ.get("LF_TPU_BIGM_CHUNK", chunk_pairs))
+    _trace = os.environ.get("LF_TPU_TRACE_PHASES", "") == "1"
+
+    def _ph(msg):
+        if _trace:
+            import sys as _sys
+            import time as _time
+
+            try:
+                import jax as _jax
+
+                live = sum(a.nbytes for a in _jax.live_arrays()) / 1e9
+            except Exception:
+                live = -1
+            print(f"# bigm {_time.strftime('%H:%M:%S')} {msg} live={live:.2f}GB",
+                  file=_sys.stderr, flush=True)
+
     J = max(0, nvars - expand_nvars)
     challenges: list = []
     round_evals: list = []
@@ -569,8 +609,10 @@ def prove_host_bigm(
         n_chunks = max(1, (S // 2) // chunk_pairs)
         W = _w_tensor_dev(ring, challenges)
         kernel = _bigm_round_fn(comb, degree, rnd, n_chunks)
+        _ph(f"round {rnd} S={S} n_chunks={n_chunks} kernel call")
         evs_dev = kernel(cur5, fhat_box[0], W, comb_consts)
         evs_host = list(rops.to_host(ring, evs_dev))
+        _ph(f"round {rnd} message done")
         transcript.absorb_slice(evs_host)
         round_evals.append(evs_host)
         c = transcript.get_challenge()
@@ -578,10 +620,12 @@ def prove_host_bigm(
         challenges.append(c)
         cur5 = mlemod.fold(ring, cur5, rops.k_to_device(ring, c))
 
+    _ph(f"expand at J={J}")
     fh_full = _bigm_expand(ring, fhat_box[0], J, _w_tensor_dev(ring, challenges))
     fhat_box[0] = None  # compact rows dead: free the big buffer
     mles = jnp.concatenate([cur5, fh_full], axis=0)
     del cur5, fh_full
+    _ph("expanded; per-round tail")
 
     # standard per-round tail (same kernels as prove_host)
     kernel = _round_kernel(comb, degree)

@@ -216,6 +216,40 @@ def test_ajtai_commit_fused_matches_cm():
             want = np.asarray(scheme.commit_batch_cm(fcm))
             got = np.asarray(scheme.commit_batch_fused(fcm))
             assert (want == got).all(), name
+            if name == "goldilocks":
+                # non-divisible K-block path (ADVICE r4): force a block size
+                # that doesn't divide the slice so the zero-pad branch runs
+                old_pick = pc._pick_kb
+                pc._pick_kb = lambda ks, L, mpad: 192
+                try:
+                    # _commit_fused's jit cache is keyed on shapes only and
+                    # captured _pick_kb at trace time — clear to retrace
+                    pc._commit_fused.clear_cache()
+                    got_pad = np.asarray(scheme.commit_batch_fused(fcm))
+                finally:
+                    pc._pick_kb = old_pick
+                    pc._commit_fused.clear_cache()
+                assert (want == got_pad).all(), "padded K-block path differs"
     finally:
         if on_cpu:
             pc._K_SLICE = old_slice
+
+
+def test_ajtai_sampling_paths_bit_identical():
+    """ADVICE r4: the u64 fast sampling path (_sample_field_u64, used for all
+    nl <= 2 rings) must produce the exact same rejection stream — and hence
+    the exact same Ajtai matrix — as the object-int reference path
+    _sample_field. Any drift would invisibly change every commitment."""
+    import numpy as np
+
+    from latticefold_tpu import modops as mo
+    from latticefold_tpu.commitment import _sample_field, _sample_field_u64
+
+    for name in ("babybear", "goldilocks"):  # nl=1 and nl=2
+        ring = get_ring(name)
+        shape = (2, 5, ring.ncomp, ring.e)
+        rng1 = np.random.default_rng(np.random.PCG64(9))
+        rng2 = np.random.default_rng(np.random.PCG64(9))
+        ref = _sample_field(rng1, ring.q, ring.nl, shape)
+        fast = _sample_field_u64(rng2, ring.q, shape)
+        assert (ref.astype(np.uint64) == fast).all(), name

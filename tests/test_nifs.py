@@ -174,3 +174,22 @@ def test_nifs_e2e_stark():
     ctx = jax.disable_jit() if jax.default_backend() == "cpu" else contextlib.nullcontext()
     with ctx:
         _run_e2e("stark", DP_STARK_E2E)
+
+
+@pytest.mark.slow
+def test_nifs_e2e_stark_moderate_b():
+    """Stark-prime fold at the moderate-b grid point DP_STARK_FOLDING
+    (b=38, K=6 from the same b^K >= B grid — VERDICT r4 item 6): the
+    degree-76 folding sumcheck exercises the balanced product-tree range
+    comb at a depth no other preset reaches. Eager on CPU (nl=8 + degree-76
+    round kernels are an XLA:CPU compile bomb — see tests/conftest.py); the
+    TPU leg runs it jitted."""
+    import contextlib
+
+    import jax
+
+    from latticefold_tpu.params import DP_STARK_FOLDING
+
+    ctx = jax.disable_jit() if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    with ctx:
+        _run_e2e("stark", DP_STARK_FOLDING)
